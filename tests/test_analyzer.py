@@ -1,0 +1,98 @@
+"""Analyzer goldens — pin the tokenizer before any indexing exists
+(FIXTURES.md §4; reference rules: IndexAnalyzer.java:33-160)."""
+
+from gazetteer_search_ray.functions.analyzer import Analyzer, AnalyzerConfig
+
+simple = Analyzer(AnalyzerConfig.simple())
+code = Analyzer(AnalyzerConfig.code())
+
+
+def test_simple_lowercase_split():
+    assert simple.terms("Hello, World! 42x") == ["hello", "world", "42x"]
+
+
+def test_simple_matches_sql_semantics():
+    # identical to unnest(regexp_split_to_array(lower(t), '[^a-z0-9]+'))
+    assert simple.terms("a--b__C  9") == ["a", "b", "c", "9"]
+    assert simple.terms("") == []
+    assert simple.terms("!!!") == []
+
+
+def test_simple_dedup_keeps_first():
+    assert simple.terms("x y x z y") == ["x", "y", "z"]
+
+
+def test_simple_term_freqs_not_deduped():
+    assert simple.term_freqs("x y x z y x") == {"x": 3, "y": 2, "z": 1}
+
+
+def test_fold_diacritics():
+    # reference: IndexAnalyzer.java:33-36 ("Bebić" → "Bebic")
+    assert Analyzer.fold("Bebić") == "Bebic"
+    assert simple.terms("Bebić café") == ["bebic", "cafe"]
+
+
+def test_char_replaces():
+    # reference: config/QueryAnalizer.json:4-9 (ё→е, ß→ss)
+    assert code.terms("straße") == ["strasse"]
+    assert code.terms("ёлка") == [Analyzer.fold("елка")]
+
+
+def test_code_camel_case_expansion():
+    toks = code.terms("getUserName")
+    assert toks[0] == "getusername"
+    assert "get" in toks and "user" in toks and "name" in toks
+
+
+def test_code_snake_case_subtokens():
+    # '_' is a separator, so parts come out as their own tokens
+    assert code.terms("parse_addr_row")[:3] == ["parse", "addr", "row"]
+
+
+def test_code_digit_boundary():
+    toks = code.terms("utf8Decoder")
+    assert "utf" in toks and "8" in toks and "decoder" in toks
+
+
+def test_code_short_token_optional():
+    # <3 chars without digits → optional (IndexAnalyzer.java:19,127-132)
+    toks = dict(code.tokens("ab abc a7"))
+    assert toks["ab"] is True
+    assert toks["abc"] is False
+    assert toks["a7"] is False  # digit ⇒ required
+
+
+def test_code_bracket_optional():
+    # bracketed spans optional (IndexAnalyzer.java:105-110)
+    toks = dict(code.tokens("mainfn (deprecated)"))
+    assert toks["mainfn"] is False
+    assert toks["deprecated"] is True
+
+
+def test_code_optional_lexicon():
+    toks = dict(code.tokens("the function"))
+    assert toks["the"] is True
+    assert toks["function"] is False
+
+
+def test_dedup_required_wins_over_optional():
+    toks = dict(code.tokens("(cache) cache"))
+    assert toks["cache"] is False
+
+
+def test_stop_terms_removed():
+    a = Analyzer(AnalyzerConfig(stop_terms=frozenset({"import"})))
+    assert a.terms("import os import sys") == ["os", "sys"]
+
+
+def test_synonym_chain():
+    # reference: multi-hop synonym chains a=b=c (QueryAnalyzerImpl.java:264-280)
+    a = Analyzer(AnalyzerConfig(synonyms=(("str", "string"), ("string", "text"))))
+    assert a.terms("str") == ["text"]
+
+
+def test_index_query_symmetry():
+    # identical analyzer output both sides (the property the reference
+    # gets by sharing IndexAnalyzer between import and query paths)
+    s = "HandleHttpRequest (fast_path) straße"
+    assert code.terms(s) == code.terms(s)

@@ -1,0 +1,84 @@
+"""Postings codec fixtures (FIXTURES.md §5): roundtrip + block-max
+invariants on empty / singleton / dense / random-gap / large lists."""
+
+import numpy as np
+import pytest
+
+from gazetteer_search_ray.functions.codec import (
+    BLOCK_SIZE,
+    decode_posting,
+    delta_decode,
+    delta_encode,
+    encode_posting,
+    varbyte_decode,
+    varbyte_encode,
+)
+
+rng = np.random.default_rng(42)
+
+CASES = [
+    np.array([], dtype=np.int64),
+    np.array([0], dtype=np.int64),
+    np.array([2**62], dtype=np.int64),
+    np.arange(1000, dtype=np.int64),  # dense run
+    np.cumsum(rng.integers(1, 10_000, size=5000)).astype(np.int64),  # random gaps
+    np.cumsum(rng.integers(1, 3, size=10 * BLOCK_SIZE + 7)).astype(np.int64),
+]
+
+
+@pytest.mark.parametrize("ids", CASES, ids=range(len(CASES)))
+def test_varbyte_roundtrip(ids):
+    enc = varbyte_encode(ids)
+    dec = varbyte_decode(enc)
+    np.testing.assert_array_equal(dec.astype(np.int64), ids)
+
+
+def test_varbyte_boundaries():
+    vals = np.array([0, 1, 127, 128, 16383, 16384, 2**32, 2**63 - 1], dtype=np.uint64)
+    np.testing.assert_array_equal(varbyte_decode(varbyte_encode(vals)), vals)
+
+
+@pytest.mark.parametrize("ids", [c for c in CASES if c.size], ids=range(5))
+def test_delta_roundtrip(ids):
+    np.testing.assert_array_equal(delta_decode(delta_encode(ids)).astype(np.int64), ids)
+
+
+def test_varbyte_smaller_than_raw():
+    ids = np.cumsum(rng.integers(1, 50, size=100_000)).astype(np.int64)
+    enc = varbyte_encode(delta_encode(ids))
+    assert len(enc) < ids.nbytes / 4  # gaps <50 fit in 1 byte
+
+
+def test_encode_posting_roundtrip_and_blocks():
+    n = 5 * BLOCK_SIZE + 17
+    doc_ids = np.cumsum(rng.integers(1, 100, size=n)).astype(np.int64)
+    tfs = rng.integers(1, 30, size=n).astype(np.int64)
+    dls = rng.integers(5, 500, size=n).astype(np.int64)
+    # shuffle input — encoder must sort by doc_id
+    perm = rng.permutation(n)
+    row = encode_posting(doc_ids[perm], tfs[perm], dls[perm])
+    assert row["df"] == n
+    p = decode_posting(row)
+    np.testing.assert_array_equal(p.doc_ids, doc_ids)
+    np.testing.assert_array_equal(p.tfs, tfs)
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    assert len(p.block_last_doc) == nblocks
+    # block invariants: last_doc is the max doc in block; max_tf/min_dl bound the block
+    for bi in range(nblocks):
+        lo, hi = bi * BLOCK_SIZE, min((bi + 1) * BLOCK_SIZE, n)
+        assert p.block_last_doc[bi] == doc_ids[hi - 1]
+        assert p.block_max_tf[bi] == tfs[lo:hi].max()
+        assert p.block_min_dl[bi] == dls[lo:hi].min()
+
+
+def test_encode_posting_rejects_duplicates():
+    with pytest.raises(ValueError):
+        encode_posting(
+            np.array([1, 1, 2]), np.array([1, 1, 1]), np.array([3, 3, 3])
+        )
+
+
+def test_empty_posting():
+    row = encode_posting(np.array([]), np.array([]), np.array([]))
+    p = decode_posting(row)
+    assert p.doc_ids.size == 0 and row["df"] == 0
