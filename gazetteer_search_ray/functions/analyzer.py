@@ -52,7 +52,10 @@ class AnalyzerConfig:
     """Configuration of the normalization chain (all rules are data)."""
 
     lowercase: bool = True
-    fold_diacritics: bool = True
+    # NFD-fold diacritics (reference M3). Off in the SQL-expressible
+    # simple config — SQL lower() does not fold, and folded chars would
+    # otherwise split differently than regexp_split_to_array.
+    fold_diacritics: bool = False
     # char replaces applied before splitting (reference M5)
     char_replaces: tuple[tuple[str, str], ...] = ()
     # separator class: anything matching is a token boundary (reference M4)
@@ -85,6 +88,7 @@ class AnalyzerConfig:
     def code() -> "AnalyzerConfig":
         """Full chain for source-code corpora."""
         return AnalyzerConfig(
+            fold_diacritics=True,
             char_replaces=(("ё", "е"), ("ß", "ss")),
             split_compounds=True,
             min_required_len=3,

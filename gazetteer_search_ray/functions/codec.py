@@ -23,14 +23,11 @@ import numpy as np
 BLOCK_SIZE = 128
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Varbyte (7-bit groups, little-endian, MSB = continuation) encode.
-
-    ``values`` must be non-negative integers (any integer dtype).
-    """
+def _varbyte_encode_starts(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Encode; returns (uint8 buffer, per-value byte start offsets)."""
     v = np.asarray(values)
     if v.size == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     v = v.astype(np.uint64, copy=True)
     # number of 7-bit groups per value (1..10)
     nb = np.ones(v.shape, dtype=np.int64)
@@ -46,6 +43,15 @@ def varbyte_encode(values: np.ndarray) -> bytes:
         byte = ((v[m] >> np.uint64(7 * i)) & np.uint64(0x7F)).astype(np.uint8)
         cont = (nb[m] - 1 > i).astype(np.uint8) << 7
         out[starts[m] + i] = byte | cont
+    return out, starts
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Varbyte (7-bit groups, little-endian, MSB = continuation) encode.
+
+    ``values`` must be non-negative integers (any integer dtype).
+    """
+    out, _ = _varbyte_encode_starts(values)
     return out.tobytes()
 
 
@@ -93,6 +99,10 @@ class Posting:
     block_max_tf: np.ndarray  # int32
     block_min_dl: np.ndarray  # int32
 
+    @property
+    def df(self) -> int:
+        return int(self.doc_ids.size)
+
 
 def encode_posting(
     doc_ids: np.ndarray,
@@ -129,13 +139,155 @@ def encode_posting(
         block_max_tf = np.empty(0, np.int64)
         block_min_dl = np.empty(0, np.int64)
         block_last_doc = np.empty(0, np.int64)
+    docs_buf, docs_starts = _varbyte_encode_starts(delta_encode(doc_ids))
+    tfs_buf, tfs_starts = _varbyte_encode_starts(tfs)
     return {
         "df": int(n),
-        "docs": varbyte_encode(delta_encode(doc_ids)),
-        "tfs": varbyte_encode(tfs),
+        "docs": docs_buf.tobytes(),
+        "tfs": tfs_buf.tobytes(),
         "block_last_doc": block_last_doc.astype(np.int64),
         "block_max_tf": block_max_tf.astype(np.int32),
         "block_min_dl": np.minimum(block_min_dl, np.iinfo(np.int32).max).astype(np.int32),
+        # byte offset of each block's first value — enables selective
+        # (skip) decoding of individual blocks at query time
+        "block_docs_off": docs_starts[::block_size].astype(np.int64),
+        "block_tfs_off": tfs_starts[::block_size].astype(np.int64),
+    }
+
+
+def decode_blocks(
+    row: dict, block_indices: np.ndarray, block_size: int = BLOCK_SIZE
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode only the selected blocks of an encoded posting row.
+
+    This is the skip-read primitive of the block-max query path: the
+    varbyte stream is sliced at the stored per-block byte offsets, the
+    gaps of all selected blocks are decoded in one vectorized pass, and
+    absolute doc_ids are restored per block using the *previous* block's
+    ``last_doc`` as the delta base.
+
+    Returns (doc_ids:int64, tfs:int64) for the selected blocks in order.
+    """
+    sel = np.asarray(block_indices, dtype=np.int64)
+    if sel.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    df = int(row["df"])
+    nblocks = (df + block_size - 1) // block_size
+    docs_off = np.asarray(row["block_docs_off"], dtype=np.int64)
+    tfs_off = np.asarray(row["block_tfs_off"], dtype=np.int64)
+    last_doc = np.asarray(row["block_last_doc"], dtype=np.int64)
+    docs_buf = np.frombuffer(row["docs"], dtype=np.uint8)
+    tfs_buf = np.frombuffer(row["tfs"], dtype=np.uint8)
+    docs_end = np.append(docs_off[1:], len(docs_buf))
+    tfs_end = np.append(tfs_off[1:], len(tfs_buf))
+    counts = np.where(sel == nblocks - 1, df - sel * block_size, block_size)
+
+    gaps = varbyte_decode(
+        np.concatenate([docs_buf[docs_off[b]: docs_end[b]] for b in sel])
+    )
+    tfs = varbyte_decode(
+        np.concatenate([tfs_buf[tfs_off[b]: tfs_end[b]] for b in sel])
+    ).astype(np.int64)
+    # per-block absolute reconstruction: cumsum globally, then rebase
+    # each block segment on prev block's last_doc
+    abs_all = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
+    seg_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    bases = np.where(sel > 0, last_doc[np.maximum(sel - 1, 0)], 0)
+    prior = np.where(seg_starts > 0, abs_all[np.maximum(seg_starts - 1, 0)], 0)
+    corrections = bases - prior
+    docs = abs_all + np.repeat(corrections, counts)
+    return docs.astype(np.int64), tfs
+
+
+def encode_posting_groups(
+    docs: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    group_offsets: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> dict:
+    """Encode MANY posting lists in one vectorized pass.
+
+    ``docs``/``tfs``/``dls`` are the concatenated entries of G groups;
+    ``group_offsets`` (len G+1) delimits them.  Entries need not be
+    sorted within a group — a single lexsort handles all groups at once.
+    Returns columns (lists of length G) with the exact same per-group
+    content as :func:`encode_posting`, verified by differential test.
+
+    This exists because a per-group Python call (Ray ``map_groups``)
+    costs ~10ms/group — fatal at vocabulary scale; here the whole block
+    of groups is one numpy pipeline (sort, delta, varbyte, reduceat).
+    """
+    docs = np.asarray(docs, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    dls = np.asarray(dls, dtype=np.int64)
+    off = np.asarray(group_offsets, dtype=np.int64)
+    ngroups = off.size - 1
+    n = docs.size
+    lens = np.diff(off)
+    if n == 0:
+        return {
+            "df": [], "docs": [], "tfs": [], "block_last_doc": [],
+            "block_max_tf": [], "block_min_dl": [],
+            "block_docs_off": [], "block_tfs_off": [],
+        }
+    gid = np.repeat(np.arange(ngroups, dtype=np.int64), lens)
+    order = np.lexsort((docs, gid))
+    docs_s, tfs_s, dls_s = docs[order], tfs[order], dls[order]
+
+    # per-group delta encode (group starts get the absolute value)
+    deltas = docs_s.copy()
+    deltas[1:] -= docs_s[:-1]
+    starts = off[:-1]
+    deltas[starts] = docs_s[starts]
+    nonstart = np.ones(n, dtype=bool)
+    nonstart[starts] = False
+    if np.any((deltas == 0) & nonstart):
+        raise ValueError("duplicate doc_id within a posting group")
+
+    docs_buf, docs_starts = _varbyte_encode_starts(deltas)
+    tfs_buf, tfs_starts = _varbyte_encode_starts(tfs_s)
+    docs_starts_end = np.append(docs_starts, len(docs_buf))
+    tfs_starts_end = np.append(tfs_starts, len(tfs_buf))
+
+    # block boundaries: every block_size-th entry within each group
+    idx_within = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+    bstart = np.flatnonzero(idx_within % block_size == 0)
+    bgid = gid[bstart]
+    group_end = off[1:][bgid]
+    blast = np.minimum(bstart + block_size, group_end) - 1
+
+    block_last_doc = docs_s[blast]
+    block_max_tf = np.maximum.reduceat(tfs_s, bstart).astype(np.int32)
+    block_min_dl = np.minimum(
+        np.minimum.reduceat(dls_s, bstart), np.iinfo(np.int32).max
+    ).astype(np.int32)
+    # byte offsets relative to each group's slice of the buffers
+    bdocs_off = docs_starts[bstart] - docs_starts[starts[bgid]]
+    btfs_off = tfs_starts[bstart] - tfs_starts[starts[bgid]]
+
+    nblocks = np.bincount(bgid, minlength=ngroups)
+    boff = np.concatenate(([0], np.cumsum(nblocks)))
+
+    docs_bytes = docs_buf.tobytes()
+    tfs_bytes = tfs_buf.tobytes()
+    docs_col = [
+        docs_bytes[int(docs_starts[off[g]]): int(docs_starts_end[off[g + 1]])]
+        for g in range(ngroups)
+    ]
+    tfs_col = [
+        tfs_bytes[int(tfs_starts[off[g]]): int(tfs_starts_end[off[g + 1]])]
+        for g in range(ngroups)
+    ]
+    return {
+        "df": lens.tolist(),
+        "docs": docs_col,
+        "tfs": tfs_col,
+        "block_last_doc": [block_last_doc[boff[g]: boff[g + 1]].tolist() for g in range(ngroups)],
+        "block_max_tf": [block_max_tf[boff[g]: boff[g + 1]].tolist() for g in range(ngroups)],
+        "block_min_dl": [block_min_dl[boff[g]: boff[g + 1]].tolist() for g in range(ngroups)],
+        "block_docs_off": [bdocs_off[boff[g]: boff[g + 1]].tolist() for g in range(ngroups)],
+        "block_tfs_off": [btfs_off[boff[g]: boff[g + 1]].tolist() for g in range(ngroups)],
     }
 
 

@@ -1,0 +1,149 @@
+"""Posting-list merge — the ``groupby(term)``-equivalent shuffle stage.
+
+Reference analog: Lucene's hidden segment merge inside ES; here it is the
+explicit all-to-all exchange of the build pipeline (SURVEY.md §3.1).
+
+The naive realization — ``groupby(term).map_groups(encode)`` — costs one
+Python call per vocabulary term (~10ms/group in Ray), which is fatal at
+real vocabulary sizes.  The pipeline therefore performs the same
+sort-based group-aggregate explicitly, keeping the encode vectorized:
+
+1. ``sort(["term", "shard"])`` — the range-partitioned all-to-all
+   exchange (identical data movement to a groupby);
+2. :class:`SortedBlockEncoder` (``map_batches``) — every sorted block
+   encodes ALL its *complete* key-runs in one numpy pass
+   (``codec.encode_posting_groups``) and side-writes them as a postings
+   parquet segment (temp+rename, content-derived name → idempotent under
+   task retry); only the block's first/last runs — the ones that may
+   straddle block boundaries — are passed through;
+3. the (tiny) boundary stream goes through a real
+   ``groupby(term, shard).map_groups`` merge.
+
+``shard`` = ``doc_id % num_doc_shards`` bounds run length for
+heavy-hitter terms so no single group materializes a 10^12-doc posting
+list; the query layer sort-merges shards per term (tested equivalent to
+an unsharded index).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.codec import BLOCK_SIZE, encode_posting, encode_posting_groups
+from ..state.manifest import atomic_write_table
+
+POSTINGS_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("shard", pa.int32()),
+        ("df", pa.int64()),
+        ("docs", pa.binary()),
+        ("tfs", pa.binary()),
+        ("block_last_doc", pa.list_(pa.int64())),
+        ("block_max_tf", pa.list_(pa.int32())),
+        ("block_min_dl", pa.list_(pa.int32())),
+        ("block_docs_off", pa.list_(pa.int64())),
+        ("block_tfs_off", pa.list_(pa.int64())),
+    ]
+)
+
+
+def _encoded_table(term_arr, shard_arr, enc: dict) -> pa.Table:
+    return pa.table(
+        {
+            "term": term_arr,
+            "shard": shard_arr,
+            "df": pa.array(enc["df"], pa.int64()),
+            "docs": pa.array(enc["docs"], pa.binary()),
+            "tfs": pa.array(enc["tfs"], pa.binary()),
+            "block_last_doc": pa.array(enc["block_last_doc"], pa.list_(pa.int64())),
+            "block_max_tf": pa.array(enc["block_max_tf"], pa.list_(pa.int32())),
+            "block_min_dl": pa.array(enc["block_min_dl"], pa.list_(pa.int32())),
+            "block_docs_off": pa.array(enc["block_docs_off"], pa.list_(pa.int64())),
+            "block_tfs_off": pa.array(enc["block_tfs_off"], pa.list_(pa.int64())),
+        },
+        schema=POSTINGS_SCHEMA,
+    )
+
+
+class SortedBlockEncoder:
+    """``map_batches`` stage over (term, shard)-sorted partial postings."""
+
+    def __init__(self, postings_dir: str, block_size: int = BLOCK_SIZE,
+                 row_group_size: int = 4096):
+        self.postings_dir = postings_dir
+        self.block_size = block_size
+        self.row_group_size = row_group_size
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        codes = pc.dictionary_encode(t["term"]).combine_chunks().indices.to_numpy()
+        shards = t["shard"].to_numpy()
+        m = len(codes)
+        run_heads = np.concatenate(
+            ([0], np.flatnonzero((np.diff(codes) != 0) | (np.diff(shards) != 0)) + 1)
+        )
+        nruns = run_heads.size
+        run_ends = np.append(run_heads[1:], m)
+        if nruns <= 2:
+            return t  # every row may straddle a boundary → all pass through
+
+        # inner (complete) runs: all but first and last
+        lo_row, hi_row = int(run_ends[0]), int(run_heads[-1])
+        inner = t.slice(lo_row, hi_row - lo_row)
+        heads = run_heads[1:-1] - lo_row
+        docs = pc.list_flatten(inner["docs"]).to_numpy().astype(np.int64)
+        tfs = pc.list_flatten(inner["tfs"]).to_numpy().astype(np.int64)
+        dls = pc.list_flatten(inner["dls"]).to_numpy().astype(np.int64)
+        row_lens = pc.list_value_length(inner["docs"]).to_numpy().astype(np.int64)
+        row_off = np.concatenate(([0], np.cumsum(row_lens)))
+        ends = run_ends[1:-1] - lo_row
+        group_offsets = np.concatenate((row_off[heads], [row_off[ends[-1]]]))
+        enc = encode_posting_groups(docs, tfs, dls, group_offsets, self.block_size)
+        out = _encoded_table(
+            inner["term"].take(pa.array(heads)),
+            inner["shard"].take(pa.array(heads)),
+            enc,
+        )
+        digest = hashlib.blake2b(
+            (inner["term"][0].as_py() + "\x00" + inner["term"][-1].as_py()).encode()
+            + np.asarray(enc["df"], dtype=np.int64).tobytes(),
+            digest_size=8,
+        ).hexdigest()
+        atomic_write_table(
+            out, os.path.join(self.postings_dir, f"postings-{digest}.parquet")
+        )
+        # pass through only the boundary runs
+        first = t.slice(0, int(run_ends[0]))
+        last = t.slice(int(run_heads[-1]), m - int(run_heads[-1]))
+        return pa.concat_tables([first, last])
+
+
+def make_postings_merger(block_size: int = BLOCK_SIZE):
+    """``map_groups`` merge for one (term, shard) group of partials.
+
+    Used only for the boundary stream (O(#sorted-blocks) groups), where
+    per-group Python overhead is harmless.
+    """
+
+    def merge(group: pa.Table) -> pa.Table:
+        docs = pc.list_flatten(group["docs"]).to_numpy().astype(np.int64)
+        tfs = pc.list_flatten(group["tfs"]).to_numpy().astype(np.int64)
+        dls = pc.list_flatten(group["dls"]).to_numpy().astype(np.int64)
+        enc = encode_posting(docs, tfs, dls, block_size)
+        enc_cols = {
+            k: [enc[k]] if not isinstance(enc[k], np.ndarray) else [enc[k].tolist()]
+            for k in ("df", "docs", "tfs", "block_last_doc", "block_max_tf",
+                      "block_min_dl", "block_docs_off", "block_tfs_off")
+        }
+        return _encoded_table(
+            group["term"].slice(0, 1), group["shard"].slice(0, 1), enc_cols
+        )
+
+    return merge

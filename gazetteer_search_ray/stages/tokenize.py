@@ -1,0 +1,223 @@
+"""TokenizeStage — the per-batch parse/normalize/partial-postings stage.
+
+Reference analog: the whole single-threaded import loop body
+(``imp/addr/AddressesImporter.java:119-152`` →
+``ImportObjectParser.parseAddress`` → ``IndexAnalyzer`` →
+``AddrRowWrapper.getJsonForIndex``), re-expressed as ONE vectorized
+``map_batches`` stage over zero-copy Arrow batches that
+
+1. assigns/validates ``doc_id``;
+2. tokenizes ``content`` (Arrow-kernel fast path for the SQL-expressible
+   simple analyzer: ``utf8_lower`` → ``split_pattern_regex`` →
+   ``list_flatten``; Python analyzer loop otherwise);
+3. computes per-doc stats: ``dl`` (BM25 field length = total token
+   count), ``sha256(content)`` (the end-to-end invariant), ``base_score``
+   (pluggable ScoreBuilder, reference ``imp/DefaultScoreBuilder.java``;
+   rows scoring 0 are dropped — ``ImportObjectParser.java:182-187``);
+4. side-writes the doc-store segment (parquet, temp+rename with a
+   content-derived filename → idempotent under Ray task retries), which
+   fuses the doc store into the single corpus pass — no second read of
+   100 TB;
+5. emits *packed partial postings*: one row per (term, shard) per batch
+   with list columns (doc_ids, tfs, dls) — the pre-aggregation that cuts
+   the ``groupby(term)`` shuffle volume (SURVEY.md §4 'Memory pressure').
+
+``shard`` = ``doc_id % num_doc_shards`` splits heavy-hitter terms
+(stopword-like code tokens) into bounded sub-groups so no single
+``map_groups`` group materializes a 10^12-doc posting list; the query
+layer merges shards per term (SURVEY.md §2.2 skew note).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections.abc import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.analyzer import Analyzer, AnalyzerConfig
+from ..state.manifest import atomic_write_table
+
+PARTIAL_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("shard", pa.int32()),
+        ("docs", pa.list_(pa.int64())),
+        ("tfs", pa.list_(pa.int32())),
+        ("dls", pa.list_(pa.int32())),
+    ]
+)
+
+DOCMETA_CARRY = ("repo", "path", "commit", "lang")
+
+
+def _is_arrow_fast_path(c: AnalyzerConfig) -> bool:
+    return (
+        c.lowercase
+        and not c.fold_diacritics
+        and not c.char_replaces
+        and c.split_pattern == r"[^a-z0-9]+"
+        and not c.split_compounds
+        and c.ascii_only
+        and not c.synonyms
+        and not c.stop_terms
+    )
+
+
+class TokenizeStage:
+    """Callable class for ``map_batches(TokenizeStage, concurrency=N)``.
+
+    Analyzer construction and regex compilation happen once per actor in
+    ``__init__`` (reference analog: the singleton compiled replacers,
+    ``ReplacersCompiler.java:20-38``).
+    """
+
+    def __init__(
+        self,
+        analyzer_config: AnalyzerConfig | None = None,
+        docmeta_dir: str | None = None,
+        num_doc_shards: int = 1,
+        content_col: str = "content",
+        score_builder: Callable[[pa.Table], np.ndarray] | None = None,
+        compute_sha256: bool = True,
+    ):
+        self.config = analyzer_config or AnalyzerConfig.simple()
+        self.analyzer = Analyzer(self.config)
+        # tf counting must see the raw (non-deduped) token stream
+        nodedup = AnalyzerConfig(**{**self.config.__dict__, "dedup": False})
+        self._nodedup = Analyzer(nodedup)
+        self.docmeta_dir = docmeta_dir
+        self.num_doc_shards = int(num_doc_shards)
+        self.content_col = content_col
+        self.score_builder = score_builder
+        self.compute_sha256 = compute_sha256
+        self._fast = _is_arrow_fast_path(self.config)
+
+    # -- tokenization ----------------------------------------------------
+
+    def _tokenize_arrow(self, content: pa.ChunkedArray | pa.Array):
+        """Vectorized simple-analyzer path: all-Arrow, zero Python loops."""
+        arr = content.combine_chunks() if isinstance(content, pa.ChunkedArray) else content
+        lst = pc.split_pattern_regex(pc.utf8_lower(arr), pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(lst)
+        parent = pc.list_parent_indices(lst)
+        mask = pc.not_equal(flat, "")
+        return flat.filter(mask), parent.filter(mask).to_numpy()
+
+    def _tokenize_python(self, content):
+        toks: list[str] = []
+        rows: list[int] = []
+        an = self._nodedup
+        for i, text in enumerate(content.to_pylist()):
+            t = [tok for tok, _opt in an.tokens(text or "")]
+            toks.extend(t)
+            rows.extend([i] * len(t))
+        return pa.array(toks, pa.string()), np.asarray(rows, dtype=np.int64)
+
+    # -- main ------------------------------------------------------------
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return PARTIAL_SCHEMA.empty_table()
+        doc_ids = batch["doc_id"].to_numpy().astype(np.int64)
+        content = batch[self.content_col]
+
+        if self._fast:
+            flat, parent = self._tokenize_arrow(content)
+        else:
+            flat, parent = self._tokenize_python(content)
+        dl = np.bincount(parent, minlength=n).astype(np.int64)
+
+        # prior score + row drop (reference M12: score==0 ⇒ drop row)
+        if self.score_builder is not None:
+            base_score = np.asarray(self.score_builder(batch), dtype=np.float64)
+        else:
+            base_score = np.ones(n, dtype=np.float64)
+        keep = base_score != 0.0
+
+        if self.docmeta_dir is not None:
+            self._write_docmeta(batch, doc_ids, dl, base_score, keep)
+
+        if not keep.all():
+            keep_rows = np.flatnonzero(keep)
+            row_mask = keep[parent]
+            flat = flat.filter(pa.array(row_mask))
+            parent = parent[row_mask]
+
+        # tf per (term, doc) — C++ hash aggregation, no Python loop
+        tf_tbl = (
+            pa.table({"term": flat, "row": pa.array(parent, pa.int64())})
+            .group_by(["term", "row"], use_threads=False)
+            .aggregate([("term", "count")])
+        )
+        rows = tf_tbl["row"].to_numpy()
+        entries = pa.table(
+            {
+                "term": tf_tbl["term"],
+                "shard": pa.array(
+                    (doc_ids[rows] % self.num_doc_shards).astype(np.int32)
+                    if self.num_doc_shards > 1
+                    else np.zeros(len(rows), dtype=np.int32)
+                ),
+                "doc": pa.array(doc_ids[rows], pa.int64()),
+                "tf": pc.cast(tf_tbl["term_count"], pa.int32()),
+                "dl": pa.array(dl[rows].astype(np.int32)),
+            }
+        ).sort_by([("term", "ascending"), ("shard", "ascending")])
+
+        # pack runs of equal (term, shard) into list columns
+        codes = pc.dictionary_encode(entries["term"]).combine_chunks().indices.to_numpy()
+        shards = entries["shard"].to_numpy()
+        m = len(codes)
+        if m == 0:
+            return PARTIAL_SCHEMA.empty_table()
+        boundary = np.flatnonzero((np.diff(codes) != 0) | (np.diff(shards) != 0)) + 1
+        offsets = np.concatenate(([0], boundary, [m])).astype(np.int32)
+        heads = offsets[:-1]
+        return pa.table(
+            {
+                "term": entries["term"].take(pa.array(heads)),
+                "shard": entries["shard"].take(pa.array(heads)),
+                "docs": pa.ListArray.from_arrays(
+                    pa.array(offsets), entries["doc"].combine_chunks()
+                ),
+                "tfs": pa.ListArray.from_arrays(
+                    pa.array(offsets), entries["tf"].combine_chunks()
+                ),
+                "dls": pa.ListArray.from_arrays(
+                    pa.array(offsets), entries["dl"].combine_chunks()
+                ),
+            }
+        )
+
+    # -- doc store -------------------------------------------------------
+
+    def _write_docmeta(self, batch, doc_ids, dl, base_score, keep):
+        cols: dict = {
+            "doc_id": pa.array(doc_ids[keep], pa.int64()),
+            "dl": pa.array(dl[keep], pa.int64()),
+            "base_score": pa.array(base_score[keep], pa.float64()),
+        }
+        for c in DOCMETA_CARRY:
+            if c in batch.column_names:
+                cols[c] = batch[c].filter(pa.array(keep))
+        if self.compute_sha256:
+            texts = batch[self.content_col].to_pylist()
+            cols["sha256"] = pa.array(
+                [
+                    hashlib.sha256(
+                        (texts[i] or "").encode("utf-8", "surrogatepass")
+                    ).hexdigest()
+                    for i in np.flatnonzero(keep)
+                ],
+                pa.string(),
+            )
+        t = pa.table(cols)
+        # content-derived name → retries of the same block overwrite the
+        # same file with identical bytes (idempotent side-write)
+        digest = hashlib.blake2b(doc_ids.tobytes(), digest_size=8).hexdigest()
+        atomic_write_table(t, os.path.join(self.docmeta_dir, f"docmeta-{digest}.parquet"))

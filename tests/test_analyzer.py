@@ -29,7 +29,10 @@ def test_simple_term_freqs_not_deduped():
 def test_fold_diacritics():
     # reference: IndexAnalyzer.java:33-36 ("Bebić" → "Bebic")
     assert Analyzer.fold("Bebić") == "Bebic"
-    assert simple.terms("Bebić café") == ["bebic", "cafe"]
+    assert code.terms("Bebić café") == ["bebic", "cafe"]
+    # simple (SQL-matching) mode does NOT fold: 'é' splits like SQL's
+    # regexp_split_to_array(lower(t), '[^a-z0-9]+')
+    assert simple.terms("café") == ["caf"]
 
 
 def test_char_replaces():

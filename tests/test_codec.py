@@ -82,3 +82,60 @@ def test_empty_posting():
     row = encode_posting(np.array([]), np.array([]), np.array([]))
     p = decode_posting(row)
     assert p.doc_ids.size == 0 and row["df"] == 0
+
+
+def test_decode_blocks_selective():
+    from gazetteer_search_ray.functions.codec import decode_blocks
+
+    n = 7 * BLOCK_SIZE + 13
+    doc_ids = np.cumsum(rng.integers(1, 1000, size=n)).astype(np.int64)
+    tfs = rng.integers(1, 99, size=n).astype(np.int64)
+    dls = rng.integers(1, 400, size=n).astype(np.int64)
+    row = encode_posting(doc_ids, tfs, dls)
+    # every subset of blocks decodes to exactly the right slice
+    for sel in ([0], [7], [1, 3], [0, 2, 7], list(range(8))):
+        d, t = decode_blocks(row, np.array(sel))
+        exp_d = np.concatenate(
+            [doc_ids[b * BLOCK_SIZE:(b + 1) * BLOCK_SIZE] for b in sel]
+        )
+        exp_t = np.concatenate(
+            [tfs[b * BLOCK_SIZE:(b + 1) * BLOCK_SIZE] for b in sel]
+        )
+        np.testing.assert_array_equal(d, exp_d)
+        np.testing.assert_array_equal(t, exp_t)
+
+
+def test_encode_posting_groups_differential():
+    """encode_posting_groups must byte-match per-group encode_posting."""
+    from gazetteer_search_ray.functions.codec import encode_posting_groups
+
+    r = np.random.default_rng(3)
+    lens = [1, 5, BLOCK_SIZE, BLOCK_SIZE + 1, 700, 2]
+    docs_l, tfs_l, dls_l = [], [], []
+    for L in lens:
+        ids = np.cumsum(r.integers(1, 500, size=L)).astype(np.int64)
+        perm = r.permutation(L)  # groups arrive unsorted
+        docs_l.append(ids[perm])
+        tfs_l.append(r.integers(1, 20, size=L).astype(np.int64)[perm])
+        dls_l.append(r.integers(1, 300, size=L).astype(np.int64)[perm])
+    off = np.concatenate(([0], np.cumsum(lens)))
+    out = encode_posting_groups(
+        np.concatenate(docs_l), np.concatenate(tfs_l), np.concatenate(dls_l), off
+    )
+    for g, L in enumerate(lens):
+        exp = encode_posting(docs_l[g], tfs_l[g], dls_l[g])
+        assert out["df"][g] == exp["df"] == L
+        assert out["docs"][g] == exp["docs"]
+        assert out["tfs"][g] == exp["tfs"]
+        for k in ("block_last_doc", "block_max_tf", "block_min_dl",
+                  "block_docs_off", "block_tfs_off"):
+            np.testing.assert_array_equal(out[k][g], np.asarray(exp[k]))
+
+
+def test_encode_posting_groups_rejects_dup():
+    from gazetteer_search_ray.functions.codec import encode_posting_groups
+
+    with pytest.raises(ValueError):
+        encode_posting_groups(
+            np.array([1, 1]), np.array([1, 1]), np.array([2, 2]), np.array([0, 2])
+        )
