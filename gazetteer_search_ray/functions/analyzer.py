@@ -80,6 +80,24 @@ class AnalyzerConfig:
     synonyms: tuple[tuple[str, str], ...] = ()
 
     @staticmethod
+    def from_dict(d: dict) -> "AnalyzerConfig":
+        """Rebuild from a manifest dict (inverse of the build's dump)."""
+        return AnalyzerConfig(
+            lowercase=d["lowercase"],
+            fold_diacritics=d["fold_diacritics"],
+            char_replaces=tuple(tuple(x) for x in d["char_replaces"]),
+            split_pattern=d["split_pattern"],
+            split_compounds=d["split_compounds"],
+            min_required_len=d["min_required_len"],
+            optional_terms=frozenset(d["optional_terms"]),
+            bracket_optional=d["bracket_optional"],
+            dedup=d["dedup"],
+            ascii_only=d["ascii_only"],
+            stop_terms=frozenset(d["stop_terms"]),
+            synonyms=tuple(tuple(x) for x in d["synonyms"]),
+        )
+
+    @staticmethod
     def simple() -> "AnalyzerConfig":
         """SQL-expressible config used by the DuckDB oracle."""
         return AnalyzerConfig()

@@ -1,0 +1,407 @@
+"""Query engine: boolean BM25 plans + block-max pruned top-k.
+
+Reimplements the reference's ES query composition (SURVEY.md §2.4) over
+the explicit index:
+
+* plan nodes mirror the ES query parts the reference builds —
+  ``Bool`` (``builders/BooleanPart.java``), ``Term``/multi-term match
+  (``builders/MatchPart.java``), ``Prefix`` (``builders/PrefixPart.java``),
+  ``DisMax`` (``builders/DisMaxUnion.java``), terms filters
+  (``builders/TermsPart.java``), function/script score
+  (``builders/FunctionScorePart.java``, ``CustomScore.java``);
+* the disjunctive top-k path uses **block-max dynamic pruning**
+  (MaxScore/WAND family): terms are processed in descending
+  upper-bound order, and once the remaining terms' bounds cannot beat
+  the running threshold their postings are only *gathered* for current
+  candidates via block-selective decode (``codec.decode_blocks``) —
+  blocks whose block-max bound cannot matter are never decoded;
+* the coalesce cascade (``api/search/ESCoalesce.java:30-64``) runs plan
+  variants in order and returns the first non-empty top-k.
+
+All arithmetic is float64; ranking ties break (score desc, doc_id asc)
+— the conventions pinned in ``functions/bm25.py``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..functions import bm25
+from ..functions.codec import decode_blocks
+from ..state.reader import IndexReader, TermPostings
+
+EMPTY_I = np.empty(0, dtype=np.int64)
+EMPTY_F = np.empty(0, dtype=np.float64)
+
+
+# ---------------------------------------------------------------------------
+# plan nodes
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Term:
+    term: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Prefix:
+    """Constant-score prefix match (reference Q3: unscored)."""
+
+    prefix: str
+    boost: float = 1.0
+    max_expansions: int = 128
+
+
+@dataclass(frozen=True)
+class Bool:
+    must: tuple = ()
+    should: tuple = ()
+    must_not: tuple = ()
+    filter: tuple = ()
+    minimum_should_match: int = 0
+    boost: float = 1.0
+    name: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class DisMax:
+    children: tuple
+    tie_breaker: float = 0.0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class ConstantScore:
+    child: object
+    score: float = 1.0
+
+
+@dataclass(frozen=True)
+class ColumnFilter:
+    """Non-scoring doc-store predicate (reference Q4/Q13 analog:
+    keyword terms filter / structured repo-lang filters)."""
+
+    column: str
+    values: tuple
+
+
+@dataclass(frozen=True)
+class FunctionScore:
+    """score' = score * doc_prior * weight (reference Q6:
+    ``_score * base_score * w`` — DisMaxUnion.java:42-45)."""
+
+    child: object
+    weight: float = 1.0
+    prior_column: str = "base_score"
+
+
+# ---------------------------------------------------------------------------
+# sorted-array set/score algebra (all exact, all vectorized)
+# ---------------------------------------------------------------------------
+
+
+def _union_sum(parts: list[tuple[np.ndarray, np.ndarray]]):
+    parts = [p for p in parts if p[0].size]
+    if not parts:
+        return EMPTY_I, EMPTY_F
+    docs = np.concatenate([p[0] for p in parts])
+    scores = np.concatenate([p[1] for p in parts])
+    u, inv = np.unique(docs, return_inverse=True)
+    acc = np.zeros(u.size, dtype=np.float64)
+    np.add.at(acc, inv, scores)
+    return u, acc
+
+
+def _union_counts(parts: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    parts = [p for p in parts if p.size]
+    if not parts:
+        return EMPTY_I, EMPTY_I
+    docs = np.concatenate(parts)
+    return np.unique(docs, return_counts=True)
+
+
+def _union_max(parts, tie_breaker: float):
+    parts = [p for p in parts if p[0].size]
+    if not parts:
+        return EMPTY_I, EMPTY_F
+    docs = np.concatenate([p[0] for p in parts])
+    scores = np.concatenate([p[1] for p in parts])
+    u, inv = np.unique(docs, return_inverse=True)
+    mx = np.full(u.size, -np.inf)
+    np.maximum.at(mx, inv, scores)
+    if tie_breaker:
+        s = np.zeros(u.size)
+        np.add.at(s, inv, scores)
+        mx = mx + tie_breaker * (s - mx)
+    return u, mx
+
+
+def _intersect(a_docs, a_scores, b_docs, b_scores):
+    common, ia, ib = np.intersect1d(a_docs, b_docs, assume_unique=True, return_indices=True)
+    return common, a_scores[ia] + b_scores[ib]
+
+
+def _gather_scores(docs, src_docs, src_scores):
+    """Scores of ``docs`` found in (src_docs sorted, src_scores); 0 else."""
+    out = np.zeros(docs.size, dtype=np.float64)
+    idx = np.searchsorted(src_docs, docs)
+    idx_c = np.minimum(idx, max(src_docs.size - 1, 0))
+    if src_docs.size:
+        hit = src_docs[idx_c] == docs
+        out[hit] = src_scores[idx_c[hit]]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# engine
+# ---------------------------------------------------------------------------
+
+
+class QueryEngine:
+    def __init__(self, reader: IndexReader, k1: float = bm25.K1, b: float = bm25.B):
+        self.reader = reader
+        self.k1 = k1
+        self.b = b
+        self._term_eval_cache: dict[tuple[str, float], tuple] = {}
+
+    # -- term scoring ----------------------------------------------------
+
+    def _score_tf(self, docs: np.ndarray, tfs: np.ndarray, df: int) -> np.ndarray:
+        dl = self.reader.dl_of(docs)
+        return bm25.term_scores(
+            tfs, dl, df, self.reader.n_docs, self.reader.avgdl, self.k1, self.b
+        )
+
+    def eval_term(self, node: Term):
+        key = (node.term, node.boost)
+        hit = self._term_eval_cache.get(key)
+        if hit is not None:
+            return hit
+        tp = self.reader.posting(node.term)
+        if tp is None:
+            res = (EMPTY_I, EMPTY_F)
+        else:
+            docs, tfs = self.reader.decode_all(tp)
+            res = (docs, node.boost * self._score_tf(docs, tfs, tp.df))
+        if len(self._term_eval_cache) < 1024:
+            self._term_eval_cache[key] = res
+        return res
+
+    # -- generic exact evaluation ---------------------------------------
+
+    def evaluate(self, node) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted doc_ids, float64 scores) of every matching doc."""
+        if isinstance(node, Term):
+            return self.eval_term(node)
+        if isinstance(node, Prefix):
+            terms = self.reader.prefix_terms(node.prefix, node.max_expansions)
+            doc_sets = []
+            for t in terms:
+                tp = self.reader.posting(t)
+                if tp:
+                    doc_sets.append(self.reader.decode_all(tp)[0])
+            if not doc_sets:
+                return EMPTY_I, EMPTY_F
+            u = np.unique(np.concatenate(doc_sets))
+            return u, np.full(u.size, float(node.boost))
+        if isinstance(node, ConstantScore):
+            docs, _ = self.evaluate(node.child)
+            return docs, np.full(docs.size, float(node.score))
+        if isinstance(node, ColumnFilter):
+            docs = self.reader.docs_matching(node.column, node.values)
+            return docs, np.zeros(docs.size)
+        if isinstance(node, DisMax):
+            parts = [self.evaluate(c) for c in node.children]
+            docs, scores = _union_max(parts, node.tie_breaker)
+            return docs, scores * node.boost
+        if isinstance(node, FunctionScore):
+            docs, scores = self.evaluate(node.child)
+            if docs.size:
+                prior = self.reader.column_of(docs, node.prior_column).astype(np.float64)
+                scores = scores * prior * node.weight
+            return docs, scores
+        if isinstance(node, Bool):
+            return self._eval_bool(node)
+        raise TypeError(f"unknown plan node {type(node)}")
+
+    def _eval_bool(self, node: Bool):
+        docs: np.ndarray | None = None
+        scores: np.ndarray | None = None
+        for child in node.must:
+            cd, cs = self.evaluate(child)
+            if docs is None:
+                docs, scores = cd, cs
+            else:
+                docs, scores = _intersect(docs, scores, cd, cs)
+            if docs.size == 0:
+                return EMPTY_I, EMPTY_F
+
+        for child in node.filter:
+            fd, _ = self.evaluate(child)
+            if docs is None:
+                docs, scores = fd, np.zeros(fd.size)
+            else:
+                common, ia, _ib = np.intersect1d(
+                    docs, fd, assume_unique=True, return_indices=True
+                )
+                docs, scores = common, scores[ia]
+            if docs.size == 0:
+                return EMPTY_I, EMPTY_F
+
+        if node.should:
+            sparts = [self.evaluate(c) for c in node.should]
+            s_docs, s_scores = _union_sum(sparts)
+            msm = node.minimum_should_match
+            if docs is None:
+                # pure disjunction: msm defaults to 1
+                eff = max(1, msm)
+                if eff > 1:
+                    c_docs, counts = _union_counts([p[0] for p in sparts])
+                    keep = c_docs[counts >= eff]
+                    docs = keep
+                    scores = _gather_scores(keep, s_docs, s_scores)
+                else:
+                    docs, scores = s_docs, s_scores
+            else:
+                # should adds score but doesn't constrain — unless msm>0
+                if msm > 0:
+                    c_docs, counts = _union_counts([p[0] for p in sparts])
+                    ok = c_docs[counts >= msm]
+                    common, ia, _ = np.intersect1d(
+                        docs, ok, assume_unique=True, return_indices=True
+                    )
+                    docs, scores = common, scores[ia]
+                if docs.size:
+                    scores = scores + _gather_scores(docs, s_docs, s_scores)
+
+        if docs is None:
+            return EMPTY_I, EMPTY_F
+
+        for child in node.must_not:
+            nd, _ = self.evaluate(child)
+            if nd.size:
+                mask = ~np.isin(docs, nd, assume_unique=True)
+                docs, scores = docs[mask], scores[mask]
+
+        return docs, scores * node.boost
+
+    # -- top-k -----------------------------------------------------------
+
+    @staticmethod
+    def _topk(docs: np.ndarray, scores: np.ndarray, k: int):
+        """(score desc, doc_id asc) tie-break, vectorized."""
+        if docs.size == 0:
+            return docs, scores
+        if docs.size > k:
+            # keep every doc tied with the kth score so doc_id tie-break
+            # is applied over the full tie group (rank-identity)
+            kth = -np.partition(-scores, k - 1)[k - 1]
+            mask = scores >= kth
+            docs, scores = docs[mask], scores[mask]
+        order = np.lexsort((docs, -scores))[:k]
+        return docs[order], scores[order]
+
+    def top_k(self, node, k: int = 20) -> tuple[np.ndarray, np.ndarray]:
+        if (
+            isinstance(node, Bool)
+            and node.should
+            and not node.must
+            and not node.must_not
+            and not node.filter
+            and node.minimum_should_match <= 1
+            and all(isinstance(c, Term) for c in node.should)
+            and node.boost == 1.0
+        ):
+            return self.top_k_disjunction(
+                [c for c in node.should], k
+            )
+        docs, scores = self.evaluate(node)
+        return self._topk(docs, scores, k)
+
+    # -- block-max pruned disjunction (MaxScore/WAND family) -------------
+
+    def _term_ub(self, tp: TermPostings) -> float:
+        ub = 0.0
+        for p in tp.parts:
+            if len(p["block_max_tf"]):
+                b_ub = bm25.block_upper_bound(
+                    p["block_max_tf"], p["block_min_dl"], tp.df,
+                    self.reader.n_docs, self.reader.avgdl, self.k1, self.b,
+                )
+                ub = max(ub, float(np.max(b_ub)))
+        return ub
+
+    def _gather_term(self, tp: TermPostings, cand: np.ndarray, boost: float) -> np.ndarray:
+        """Scores of ``cand`` docs for this term, decoding only the
+        blocks that contain a candidate (block-selective skip read)."""
+        out = np.zeros(cand.size, dtype=np.float64)
+        for p in tp.parts:
+            last = p["block_last_doc"]
+            if len(last) == 0:
+                continue
+            # block index that could contain each candidate
+            bidx = np.searchsorted(last, cand)
+            valid = bidx < len(last)
+            sel = np.unique(bidx[valid])
+            if sel.size == 0:
+                continue
+            d, t = decode_blocks(p, sel, self.reader.block_size)
+            idx = np.searchsorted(d, cand)
+            idx_c = np.minimum(idx, d.size - 1)
+            hit = (d[idx_c] == cand) & valid
+            if hit.any():
+                sc = self._score_tf(d[idx_c[hit]], t[idx_c[hit]], tp.df)
+                out[hit] += boost * sc
+        return out
+
+    def top_k_disjunction(self, terms: list[Term], k: int = 20):
+        """Exact top-k of a sum-of-BM25 disjunction with MaxScore-style
+        dynamic pruning + block-selective decoding.
+
+        Invariant: a doc absent from all fully-evaluated terms has score
+        ≤ sum of remaining upper bounds; once that sum < θ (current kth
+        score), remaining terms are only gathered for known candidates.
+        Result is identical to exhaustive evaluation (tested).
+        """
+        infos = []
+        for node in terms:
+            tp = self.reader.posting(node.term)
+            if tp is not None:
+                infos.append((node, tp, node.boost * self._term_ub(tp)))
+        if not infos:
+            return EMPTY_I, EMPTY_F
+        infos.sort(key=lambda x: -x[2])
+        ubs = np.array([x[2] for x in infos])
+        docs = EMPTY_I
+        scores = EMPTY_F
+        theta = -np.inf
+        i = 0
+        for i, (node, tp, ub) in enumerate(infos):
+            remaining = float(ubs[i:].sum())
+            if scores.size >= k:
+                theta = np.partition(scores, scores.size - k)[scores.size - k]
+                # STRICT: a doc scoring exactly `remaining` could still
+                # tie with the kth and win the doc_id tie-break
+                if theta > remaining:
+                    break
+            d, t = self.reader.decode_all(tp)
+            s = node.boost * self._score_tf(d, t, tp.df)
+            docs, scores = _union_sum([(docs, scores), (d, s)])
+        else:
+            i = len(infos)
+
+        # gather phase: remaining terms contribute only to candidates
+        if i < len(infos) and docs.size:
+            rem_ub = float(ubs[i:].sum())
+            cand_mask = scores + rem_ub >= theta
+            cand = docs[cand_mask]
+            cand_scores = scores[cand_mask].copy()
+            for node, tp, _ub in infos[i:]:
+                cand_scores += self._gather_term(tp, cand, node.boost)
+            docs, scores = cand, cand_scores
+        return self._topk(docs, scores, k)

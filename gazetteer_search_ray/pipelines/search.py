@@ -1,0 +1,212 @@
+"""Search front-end: query analysis, the main-query cascade, scorer actors.
+
+Reference flow (SURVEY.md §3.2, ``api/search/ESDefaultSearch.java:49-166``):
+``getQuery`` analysis → prefix extraction → token classing → 1–3 coalesce
+query variants → first non-empty top-k → projection.
+
+* :func:`analyze_query` — A1/A3/A4: same analyzer as the index side
+  (loaded from the manifest), last-token prefix extraction
+  (``Query.java:178-185``), number/optional/required token classing
+  (``ESDefaultSearch.java:67-85``).
+* :func:`build_cascade` — Q9/Q14 analog for the single-field corpus:
+  (1) strict all-required conjunction (the cross_fields full-AND branch,
+  ``MainAddressQueryBuilder.java:396-404``), (2) ≥2-of-terms
+  minimum_should_match branch (``:274-309``), (3) relaxed disjunction —
+  each rescored by the doc prior (Q6) and intersected with structured
+  filters (Q13 analog: repo/lang).
+* :class:`QueryScorer` — the stateful query actor: index + analyzer
+  loaded once in ``__init__``; ``__call__`` scores a batch of queries →
+  rows (qid, rank, doc_id, score).  Used as
+  ``queries_ds.map_batches(QueryScorer, concurrency=N)``.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from ..state.reader import IndexReader
+from .query import (
+    Bool,
+    ColumnFilter,
+    FunctionScore,
+    Prefix,
+    QueryEngine,
+    Term,
+)
+
+
+@dataclass
+class ParsedQuery:
+    required: list[str] = field(default_factory=list)
+    optional: list[str] = field(default_factory=list)
+    numbers: list[str] = field(default_factory=list)
+    prefix: str | None = None
+    all_terms: list[str] = field(default_factory=list)
+
+
+def analyze_query(q: str, analyzer, prefix: bool = False) -> ParsedQuery:
+    toks = analyzer.tokens(q or "")
+    pq = ParsedQuery()
+    prefix_tok = None
+    if prefix and toks and q and not q.endswith(" "):
+        # last token becomes the prefix unless it has digits
+        # (reference: Query.findPrefix, Query.java:178-185)
+        last = toks[-1][0]
+        if not any(ch.isdigit() for ch in last):
+            prefix_tok = last
+            toks = toks[:-1]
+    for tok, opt in toks:
+        pq.all_terms.append(tok)
+        if any(ch.isdigit() for ch in tok):
+            pq.numbers.append(tok)
+        elif opt:
+            pq.optional.append(tok)
+        else:
+            pq.required.append(tok)
+    pq.prefix = prefix_tok
+    return pq
+
+
+def build_cascade(
+    pq: ParsedQuery,
+    filters: dict | None = None,
+    use_prior: bool = True,
+) -> list:
+    """Coalesce variants, strictest first (Q14)."""
+    filt = tuple(
+        ColumnFilter(col, tuple(v if isinstance(v, (list, tuple)) else [v]))
+        for col, v in (filters or {}).items()
+        if v is not None
+    )
+    core = pq.required + pq.numbers
+    opt_should = tuple(Term(t, boost=0.5) for t in pq.optional)
+    pfx = (Prefix(pq.prefix),) if pq.prefix else ()
+    variants = []
+    if core:
+        variants.append(
+            Bool(
+                must=tuple(Term(t) for t in core),
+                should=opt_should + pfx,
+                filter=filt,
+            )
+        )
+    if len(core) + len(pq.optional) >= 2:
+        # ≥2-of-terms branch (MainAddressQueryBuilder.java:274-309)
+        all_t = tuple(Term(t) for t in (core + pq.optional))
+        variants.append(
+            Bool(should=all_t + pfx, minimum_should_match=2, filter=filt)
+        )
+    relaxed_terms = core + pq.optional
+    if relaxed_terms or pfx:
+        variants.append(
+            Bool(
+                should=tuple(Term(t) for t in relaxed_terms) + pfx,
+                minimum_should_match=1 if (relaxed_terms or pfx) else 0,
+                filter=filt,
+            )
+        )
+    if use_prior:
+        variants = [FunctionScore(v) for v in variants]
+    return variants
+
+
+class Searcher:
+    """Single-process search facade (reference: ESDefaultSearch)."""
+
+    def __init__(self, index_dir: str):
+        self.reader = IndexReader(index_dir)
+        self.engine = QueryEngine(self.reader)
+
+    def search(
+        self,
+        q: str,
+        k: int = 20,
+        prefix: bool = False,
+        filters: dict | None = None,
+        coalesce: bool = True,
+        use_prior: bool = True,
+    ) -> list[dict]:
+        pq = analyze_query(q, self.reader.analyzer, prefix)
+        variants = build_cascade(pq, filters, use_prior)
+        if not variants:
+            return []
+        if not coalesce:
+            variants = variants[-1:]
+        docs = scores = None
+        for plan in variants:  # first non-empty wins (ESCoalesce.java:30-64)
+            docs, scores = self.engine.top_k(plan, k)
+            if docs.size:
+                break
+        if docs is None or docs.size == 0:
+            return []
+        return self.project(docs, scores)
+
+    def project(self, docs: np.ndarray, scores: np.ndarray) -> list[dict]:
+        """Hit projection from the doc store (Q17)."""
+        r = self.reader
+        out = []
+        for rank, (d, s) in enumerate(zip(docs.tolist(), scores.tolist()), 1):
+            row = {"rank": rank, "doc_id": d, "score": s}
+            for col in ("repo", "path", "lang"):
+                if col in r.columns:
+                    row[col] = r.column_of(np.array([d]), col)[0]
+            out.append(row)
+        return out
+
+
+class QueryScorer:
+    """Actor-pool stage: batch of queries in → ranked hits out.
+
+    ``map_batches(QueryScorer, fn_constructor_kwargs=dict(index_dir=...),
+    concurrency=N, batch_format="pyarrow")`` — the index, analyzer and
+    caches are loaded once per actor (reference analog: the singleton ES
+    client + static analyzer config, ``ESServer.java:12-18``).
+    """
+
+    def __init__(self, index_dir: str, k: int = 20, use_prior: bool = False,
+                 coalesce: bool = True):
+        self.searcher = Searcher(index_dir)
+        self.k = k
+        self.use_prior = use_prior
+        self.coalesce = coalesce
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, qs = batch["qid"].to_pylist(), batch["q"].to_pylist()
+        ks = batch["k"].to_pylist() if "k" in batch.column_names else [self.k] * len(qs)
+        pfx = (
+            batch["prefix"].to_pylist()
+            if "prefix" in batch.column_names
+            else [False] * len(qs)
+        )
+        langs = (
+            batch["filter_lang"].to_pylist()
+            if "filter_lang" in batch.column_names
+            else [None] * len(qs)
+        )
+        out = {"qid": [], "rank": [], "doc_id": [], "score": []}
+        for qid, q, k, p, fl in zip(qids, qs, ks, pfx, langs):
+            hits = self.searcher.search(
+                q,
+                k=int(k or self.k),
+                prefix=bool(p),
+                filters={"lang": fl} if fl else None,
+                coalesce=self.coalesce,
+                use_prior=self.use_prior,
+            )
+            for h in hits:
+                out["qid"].append(qid)
+                out["rank"].append(h["rank"])
+                out["doc_id"].append(h["doc_id"])
+                out["score"].append(h["score"])
+        return pa.table(
+            {
+                "qid": pa.array(out["qid"], pa.int64()),
+                "rank": pa.array(out["rank"], pa.int32()),
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "score": pa.array(out["score"], pa.float64()),
+            }
+        )

@@ -1,0 +1,210 @@
+"""IndexReader — storage access for the query layer.
+
+Loads once per query actor (``QueryScorer.__init__``): the manifest,
+doc-store arrays, and a (file, row-group) → term-range pruning index
+over the postings segments.  Term lookups then read ONLY the parquet
+row groups whose [min_term, max_term] statistics cover the term — the
+on-disk analog of a term dictionary — so a query touches a few row
+groups, not the index (SURVEY.md §3.2).
+
+Scale note: doc-store arrays are per-*segment-group* — on a multi-node
+cluster each query actor serves the segments co-located with it and a
+scatter-gather layer merges top-k across actors (the reference relies on
+ES doing exactly this across shards).  In this sandbox one reader holds
+all segments.
+"""
+
+from __future__ import annotations
+
+import bisect
+from collections import OrderedDict
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..functions.analyzer import Analyzer, AnalyzerConfig
+from ..functions.codec import decode_blocks
+from . import manifest as mf
+import os
+
+DOCMETA_EXTRA = ("lang", "repo", "path", "base_score", "sha256")
+
+
+@dataclass
+class TermPostings:
+    """All posting parts of one term (parts = shards × segments)."""
+
+    term: str
+    df: int  # global doc frequency (sum over parts)
+    parts: list[dict]  # encoded rows (codec.encode_posting layout)
+
+
+class IndexReader:
+    def __init__(self, index_dir: str, cache_terms: int = 8192):
+        man = mf.read_manifest(index_dir)
+        if man is None:
+            raise FileNotFoundError(f"no committed index at {index_dir}")
+        self.manifest = man
+        self.n_docs = int(man["n_docs"])
+        self.avgdl = float(man["avgdl"])
+        self.block_size = int(man.get("block_size", 128))
+        self.analyzer = Analyzer(AnalyzerConfig.from_dict(man["analyzer"]))
+        seg_dirs = (
+            [os.path.join(index_dir, s) for s in man["segments"]]
+            if "segments" in man
+            else [index_dir]
+        )
+
+        # ---- doc store -------------------------------------------------
+        import pyarrow.dataset as pads
+
+        children = [
+            pads.dataset(os.path.join(d, "docmeta"), format="parquet")
+            for d in seg_dirs
+        ]
+        meta_ds = children[0] if len(children) == 1 else pads.dataset(children)
+        avail = set(meta_ds.schema.names)
+        cols = ["doc_id", "dl"] + [c for c in DOCMETA_EXTRA if c in avail]
+        t = meta_ds.to_table(columns=cols)
+        order = pc.sort_indices(t["doc_id"])
+        t = t.take(order)
+        self.doc_ids = t["doc_id"].to_numpy()  # sorted ascending
+        self.dl = t["dl"].to_numpy().astype(np.int64)
+        self.columns: dict[str, np.ndarray] = {}
+        for c in cols[2:]:
+            col = t[c]
+            self.columns[c] = (
+                col.to_numpy(zero_copy_only=False)
+                if c == "base_score"
+                else np.asarray(col.to_pylist(), dtype=object)
+            )
+
+        # ---- postings row-group pruning index --------------------------
+        self._files: list[pq.ParquetFile] = []
+        self._rg_min: list[str] = []
+        self._rg_max: list[str] = []
+        self._rg_loc: list[tuple[int, int]] = []  # (file_idx, rg_idx)
+        for d in seg_dirs:
+            pdir = os.path.join(d, "postings")
+            for fname in sorted(os.listdir(pdir)):
+                if not fname.endswith(".parquet"):
+                    continue
+                pf = pq.ParquetFile(os.path.join(pdir, fname))
+                fi = len(self._files)
+                self._files.append(pf)
+                term_idx = pf.schema_arrow.get_field_index("term")
+                for rg in range(pf.metadata.num_row_groups):
+                    st = pf.metadata.row_group(rg).column(term_idx).statistics
+                    self._rg_min.append(st.min if st is not None else "")
+                    self._rg_max.append(st.max if st is not None else "\U0010ffff")
+                    self._rg_loc.append((fi, rg))
+        # sort row groups by min term for bisect pruning
+        order2 = sorted(range(len(self._rg_min)), key=lambda i: self._rg_min[i])
+        self._rg_min = [self._rg_min[i] for i in order2]
+        self._rg_max = [self._rg_max[i] for i in order2]
+        self._rg_loc = [self._rg_loc[i] for i in order2]
+        self._cache: OrderedDict[str, TermPostings | None] = OrderedDict()
+        self._cache_terms = cache_terms
+        self._rg_cache: OrderedDict[tuple[int, int], object] = OrderedDict()
+
+    # ---- doc store gathers --------------------------------------------
+
+    def dl_of(self, docs: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(self.doc_ids, docs)
+        return self.dl[idx]
+
+    def column_of(self, docs: np.ndarray, col: str) -> np.ndarray:
+        idx = np.searchsorted(self.doc_ids, docs)
+        return self.columns[col][idx]
+
+    def docs_matching(self, col: str, values) -> np.ndarray:
+        """Sorted doc_ids whose docmeta column ∈ values (filter leaf)."""
+        mask = np.isin(self.columns[col], list(values))
+        return self.doc_ids[mask]
+
+    # ---- postings ------------------------------------------------------
+
+    def _candidate_rgs(self, lo: str, hi: str):
+        """Row groups whose [min,max] term range intersects [lo, hi]."""
+        i = bisect.bisect_right(self._rg_min, hi)
+        out = []
+        for j in range(i):
+            if self._rg_max[j] >= lo:
+                out.append(self._rg_loc[j])
+        return out
+
+    def _read_rg(self, fi: int, rg: int):
+        key = (fi, rg)
+        hit = self._rg_cache.get(key)
+        if hit is not None:
+            self._rg_cache.move_to_end(key)
+            return hit
+        tbl = self._files[fi].read_row_group(rg)
+        self._rg_cache[key] = tbl
+        if len(self._rg_cache) > 64:
+            self._rg_cache.popitem(last=False)
+        return tbl
+
+    @staticmethod
+    def _row_to_part(tbl, i: int) -> dict:
+        return {
+            "df": tbl["df"][i].as_py(),
+            "docs": tbl["docs"][i].as_py(),
+            "tfs": tbl["tfs"][i].as_py(),
+            "block_last_doc": np.asarray(tbl["block_last_doc"][i].as_py(), np.int64),
+            "block_max_tf": np.asarray(tbl["block_max_tf"][i].as_py(), np.int32),
+            "block_min_dl": np.asarray(tbl["block_min_dl"][i].as_py(), np.int32),
+            "block_docs_off": np.asarray(tbl["block_docs_off"][i].as_py(), np.int64),
+            "block_tfs_off": np.asarray(tbl["block_tfs_off"][i].as_py(), np.int64),
+        }
+
+    def posting(self, term: str) -> TermPostings | None:
+        if term in self._cache:
+            self._cache.move_to_end(term)
+            return self._cache[term]
+        parts = []
+        for fi, rg in self._candidate_rgs(term, term):
+            tbl = self._read_rg(fi, rg)
+            mask = pc.equal(tbl["term"], term)
+            idxs = np.flatnonzero(mask.combine_chunks().to_numpy(zero_copy_only=False))
+            for i in idxs:
+                parts.append(self._row_to_part(tbl, int(i)))
+        tp = TermPostings(term, sum(p["df"] for p in parts), parts) if parts else None
+        self._cache[term] = tp
+        if len(self._cache) > self._cache_terms:
+            self._cache.popitem(last=False)
+        return tp
+
+    def prefix_terms(self, prefix: str, max_expansions: int = 128) -> list[str]:
+        """Term-dictionary range scan [prefix, prefix+MAXCHAR) (Q3)."""
+        hi = prefix + "\U0010ffff"
+        terms: set[str] = set()
+        for fi, rg in self._candidate_rgs(prefix, hi):
+            tbl = self._read_rg(fi, rg)
+            mask = pc.starts_with(tbl["term"], prefix)
+            for v in tbl["term"].filter(mask):
+                terms.add(v.as_py())
+                if len(terms) >= max_expansions:
+                    return sorted(terms)
+        return sorted(terms)
+
+    # ---- decode --------------------------------------------------------
+
+    def decode_all(self, tp: TermPostings) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids sorted, tfs) across all parts (sorted merge)."""
+        if len(tp.parts) == 1:
+            p = tp.parts[0]
+            nblocks = len(p["block_last_doc"])
+            return decode_blocks(p, np.arange(nblocks), self.block_size)
+        ds_, ts_ = [], []
+        for p in tp.parts:
+            nblocks = len(p["block_last_doc"])
+            d, t = decode_blocks(p, np.arange(nblocks), self.block_size)
+            ds_.append(d)
+            ts_.append(t)
+        docs = np.concatenate(ds_)
+        tfs = np.concatenate(ts_)
+        order = np.argsort(docs, kind="stable")
+        return docs[order], tfs[order]
