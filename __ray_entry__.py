@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()`` — flagship pipeline on sf0.001: build the inverted index
+  from the documents-as-corpus table (tokenize → partial postings →
+  groupby(term) merge → compressed segments + manifest), then answer a
+  fixture query set through the ``QueryScorer`` actor pool; returns the
+  ranked hits as a ``ray.data.Dataset``.
+* ``queries()`` / ``oracle_sql()`` — one entry per operator from
+  SURVEY.md §2 plus the training-data operators (dedup, ANN, text
+  analysis); see ``gazetteer_search_ray/driver_queries.py``.
 """
 
 from __future__ import annotations
@@ -20,25 +20,42 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import ray.data as rd
+
+    from gazetteer_search_ray.driver_queries import get_searcher, index_dir_for
+    from gazetteer_search_ray.pipelines.search import QueryScorer
+
+    sf_dir = "/root/testdata/sf0.001"
+    get_searcher(sf_dir)  # builds + commits the index if not cached
+
+    # fixture query set (FIXTURES.md §2): rare / hot / AND / mixed /
+    # absent / prefix / digit-bearing
+    fixtures = [
+        {"qid": 1, "q": "dup", "k": 20, "prefix": False},
+        {"qid": 2, "q": "scan", "k": 20, "prefix": False},
+        {"qid": 3, "q": "sort merge window", "k": 20, "prefix": False},
+        {"qid": 4, "q": "dup key", "k": 20, "prefix": False},
+        {"qid": 5, "q": "zzzznope", "k": 20, "prefix": False},
+        {"qid": 6, "q": "key wi", "k": 20, "prefix": True},
+        {"qid": 7, "q": "table 42", "k": 20, "prefix": False},
+    ]
+    queries_ds = rd.from_items(fixtures)
+    return queries_ds.map_batches(
+        QueryScorer,
+        fn_constructor_kwargs=dict(index_dir=index_dir_for(sf_dir)),
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=4,
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from gazetteer_search_ray.driver_queries import all_queries
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from gazetteer_search_ray.driver_queries import all_oracle_sql
+
+    return all_oracle_sql()

@@ -1,0 +1,658 @@
+"""Driver contract: one Ray pipeline + one DuckDB oracle per operator.
+
+Backs ``__ray_entry__.py``.  Every entry reads the testdata tables
+(documents / embeddings / orders / lineitem) and returns a result whose
+row set, schema and values match the paired ANSI-SQL oracle exactly
+(scores rounded to 6 decimals, cosines to 4 — see the precision notes
+inline).  The BM25 queries run against a REAL index built by the
+flagship pipeline (cached per sf_dir under /tmp) and queried through the
+block-max engine — not a shortcut reimplementation.
+
+Naming: every computed column is aliased identically in the Ray code
+and the SQL (driver hashes values after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .functions.analyzer import AnalyzerConfig
+from .pipelines.build_index import BuildOptions, build_index
+from .pipelines.query import Bool, ColumnFilter, DisMax, FunctionScore, Prefix, Term
+from .pipelines.search import Searcher
+from .sources.corpus import documents_as_corpus
+from .state import manifest as mf
+
+K1, B = 1.2, 0.75
+CACHE_ROOT = "/tmp/gsr_index_cache"
+
+# fixed query vocabulary (documents testdata: ~31 terms, 'dup' rare)
+RARE = "dup"
+HOT = "scan"
+OR3 = ["sort", "merge", "window"]
+AND2 = ["dup", "key"]
+MSM3 = ["dup", "spark", "window"]
+DM2 = ["sort", "merge"]
+PREFIX = "wi"
+ABSENT = "zzzznope"
+
+_searchers: dict[str, Searcher] = {}
+
+
+def _prior_from_n_chars(batch: pa.Table) -> np.ndarray:
+    n = batch["n_chars"].to_numpy().astype(np.float64)
+    return 1.0 / (1.0 + np.log1p(n))
+
+
+def index_dir_for(sf_dir: str) -> str:
+    key = hashlib.sha1(f"{sf_dir}|simple|v1".encode()).hexdigest()[:12]
+    return os.path.join(CACHE_ROOT, key)
+
+
+def get_searcher(sf_dir: str) -> Searcher:
+    s = _searchers.get(sf_dir)
+    if s is not None:
+        return s
+    idx = index_dir_for(sf_dir)
+    if not mf.is_committed(idx):
+        ds = documents_as_corpus(sf_dir)
+        build_index(
+            ds,
+            idx,
+            BuildOptions(
+                analyzer_config=AnalyzerConfig.simple(),
+                score_builder=_prior_from_n_chars,
+            ),
+        )
+    s = Searcher(idx)
+    _searchers[sf_dir] = s
+    return s
+
+
+def _round(a: np.ndarray, nd: int = 6) -> np.ndarray:
+    return np.round(a, nd)
+
+
+def _topk_frame(docs: np.ndarray, scores: np.ndarray, nd: int = 6) -> pd.DataFrame:
+    return pd.DataFrame(
+        {"doc_id": docs.astype(np.int64), "score": _round(scores.astype(np.float64), nd)}
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL building blocks
+# ---------------------------------------------------------------------------
+
+TOK_CTE = """
+tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+), tok2 AS (SELECT doc_id, term FROM tok WHERE term <> '')
+"""
+
+BM25_CTE = (
+    TOK_CTE
+    + """,
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok2 GROUP BY doc_id, term),
+dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+       FROM documents d LEFT JOIN tok2 t ON t.doc_id = d.doc_id GROUP BY d.doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl)
+"""
+)
+
+
+def _sql_terms(terms: list[str]) -> str:
+    return ", ".join(f"'{t}'" for t in terms)
+
+
+def _bm25_score_sql(terms: list[str], having: str = "", extra_score: str = "score") -> str:
+    """Scored-docs CTE `sc(doc_id, score, n_matched)` for a term set."""
+    return f"""
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+       WHERE term IN ({_sql_terms(terms)}) GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+              * tf.tf * {K1 + 1.0} / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score,
+         count(*) AS n_matched
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id {having}
+)"""
+
+
+def _bm25_topk_sql(terms: list[str], k: int = 20, having: str = "") -> str:
+    return (
+        f"WITH {BM25_CTE}, {_bm25_score_sql(terms, having)} "
+        f"SELECT doc_id, round(score, 6) AS score FROM sc "
+        f"ORDER BY sc.score DESC, doc_id LIMIT {k}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# search-family queries (run against the real index)
+# ---------------------------------------------------------------------------
+
+
+def q_term_stats(sf_dir: str) -> pd.DataFrame:
+    s = get_searcher(sf_dir)
+    rows = []
+    for t in sorted([RARE, HOT, *OR3]):
+        tp = s.reader.posting(t)
+        if tp is None:
+            continue
+        _docs, tfs = s.reader.decode_all(tp)
+        rows.append({"term": t, "doc_freq": tp.df, "total_tf": int(tfs.sum())})
+    return pd.DataFrame(rows, columns=["term", "doc_freq", "total_tf"])
+
+
+def q_doc_freq_top(sf_dir: str):
+    """Top-50 df terms — Ray aggregation over the postings segments."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    get_searcher(sf_dir)  # ensure index exists
+    idx = index_dir_for(sf_dir)
+    ds = rd.read_parquet(os.path.join(idx, "postings"), columns=["term", "df"])
+    out = (
+        ds.groupby("term")
+        .aggregate(Sum("df", alias_name="doc_freq"))
+        .sort(["doc_freq", "term"], descending=[True, False])
+        .limit(50)
+    )
+    pdf = out.to_pandas()
+    pdf["doc_freq"] = pdf["doc_freq"].astype(np.int64)
+    return pdf[["term", "doc_freq"]]
+
+
+def q_corpus_stats(sf_dir: str) -> pd.DataFrame:
+    s = get_searcher(sf_dir)
+    return pd.DataFrame(
+        {
+            "n_docs": [np.int64(s.reader.n_docs)],
+            "total_tokens": [np.int64(s.reader.manifest["total_tokens"])],
+            "avgdl": [round(s.reader.avgdl, 6)],
+        }
+    )
+
+
+def _topk(sf_dir, plan, k=20, nd=6):
+    s = get_searcher(sf_dir)
+    docs, scores = s.engine.top_k(plan, k)
+    return _topk_frame(docs, scores, nd)
+
+
+def q_bm25_rare(sf_dir):
+    return _topk(sf_dir, Bool(should=(Term(RARE),)))
+
+
+def q_bm25_hot(sf_dir):
+    return _topk(sf_dir, Bool(should=(Term(HOT),)))
+
+
+def q_bm25_or(sf_dir):
+    return _topk(sf_dir, Bool(should=tuple(Term(t) for t in OR3)))
+
+
+def q_bm25_and(sf_dir):
+    return _topk(sf_dir, Bool(must=tuple(Term(t) for t in AND2)))
+
+
+def q_bm25_msm2(sf_dir):
+    return _topk(
+        sf_dir, Bool(should=tuple(Term(t) for t in MSM3), minimum_should_match=2)
+    )
+
+
+def q_bm25_dismax(sf_dir):
+    return _topk(sf_dir, DisMax(children=tuple(Term(t) for t in DM2)))
+
+
+def q_bm25_filter_lang(sf_dir):
+    return _topk(
+        sf_dir,
+        Bool(
+            should=(Term(HOT), Term("sort")),
+            minimum_should_match=1,
+            filter=(ColumnFilter("lang", ("en",)),),
+        ),
+    )
+
+
+def q_bm25_prior(sf_dir):
+    return _topk(
+        sf_dir,
+        FunctionScore(Bool(should=(Term("merge"), Term("query")))),
+    )
+
+
+def q_prefix_docs(sf_dir) -> pd.DataFrame:
+    s = get_searcher(sf_dir)
+    docs, _ = s.engine.evaluate(Prefix(PREFIX, max_expansions=10_000))
+    return pd.DataFrame({"doc_id": docs.astype(np.int64)})
+
+
+def q_bm25_coalesce(sf_dir):
+    """Cascade: strict AND (empty for this pair) → first non-empty (Q14)."""
+    s = get_searcher(sf_dir)
+    strict = Bool(must=(Term(RARE), Term(ABSENT)))
+    relaxed = Bool(should=(Term(RARE), Term(ABSENT)), minimum_should_match=1)
+    for plan in (strict, relaxed):
+        docs, scores = s.engine.top_k(plan, 20)
+        if docs.size:
+            return _topk_frame(docs, scores)
+    return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
+
+
+def q_topk_paged(sf_dir):
+    """from/size paging (Q15): page 2 of the OR query (offset 10, size 10)."""
+    s = get_searcher(sf_dir)
+    docs, scores = s.engine.top_k(Bool(should=tuple(Term(t) for t in OR3)), 20)
+    return _topk_frame(docs[10:20], scores[10:20])
+
+
+SEARCH_SQL = {
+    "term_stats": (
+        f"WITH {TOK_CTE} SELECT term, count(DISTINCT doc_id)::BIGINT AS doc_freq, "
+        f"count(*)::BIGINT AS total_tf FROM tok2 "
+        f"WHERE term IN ({_sql_terms(sorted([RARE, HOT, *OR3]))}) "
+        f"GROUP BY term ORDER BY term"
+    ),
+    "doc_freq_top": (
+        f"WITH {TOK_CTE} SELECT term, count(DISTINCT doc_id)::BIGINT AS doc_freq "
+        f"FROM tok2 GROUP BY term ORDER BY doc_freq DESC, term LIMIT 50"
+    ),
+    "corpus_stats": (
+        f"WITH {BM25_CTE} SELECT count(*)::BIGINT AS n_docs, "
+        f"coalesce(sum(dl), 0)::BIGINT AS total_tokens, "
+        f"round(avg(dl), 6) AS avgdl FROM dl"
+    ),
+    "bm25_rare": _bm25_topk_sql([RARE]),
+    "bm25_hot": _bm25_topk_sql([HOT]),
+    "bm25_or": _bm25_topk_sql(OR3),
+    "bm25_and": _bm25_topk_sql(AND2, having=f"HAVING count(*) = {len(AND2)}"),
+    "bm25_msm2": _bm25_topk_sql(MSM3, having="HAVING count(*) >= 2"),
+    "bm25_dismax": (
+        f"WITH {BM25_CTE}, "
+        f"""persc AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+           * tf.tf * {K1 + 1.0} / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS score
+  FROM tf
+  JOIN (SELECT term, count(*)::DOUBLE AS df FROM tf WHERE term IN ({_sql_terms(DM2)}) GROUP BY term) df
+    ON tf.term = df.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s),
+sc AS (SELECT doc_id, max(score) AS score FROM persc GROUP BY doc_id)
+SELECT doc_id, round(score, 6) AS score FROM sc ORDER BY sc.score DESC, doc_id LIMIT 20"""
+    ),
+    "bm25_filter_lang": (
+        f"WITH {BM25_CTE}, {_bm25_score_sql([HOT, 'sort'])} "
+        f"SELECT sc.doc_id, round(sc.score, 6) AS score FROM sc "
+        f"JOIN documents d ON d.doc_id = sc.doc_id WHERE d.lang = 'en' "
+        f"ORDER BY sc.score DESC, sc.doc_id LIMIT 20"
+    ),
+    "bm25_prior": (
+        f"WITH {BM25_CTE}, {_bm25_score_sql(['merge', 'query'])} "
+        f"SELECT sc.doc_id, round(sc.score * (1.0 / (1.0 + ln(1.0 + d.n_chars))), 6) AS score "
+        f"FROM sc JOIN documents d ON d.doc_id = sc.doc_id "
+        f"ORDER BY sc.score * (1.0 / (1.0 + ln(1.0 + d.n_chars))) DESC, sc.doc_id LIMIT 20"
+    ),
+    "prefix_docs": (
+        f"WITH {TOK_CTE} SELECT DISTINCT doc_id FROM tok2 "
+        f"WHERE term LIKE '{PREFIX}%' ORDER BY doc_id"
+    ),
+    "bm25_coalesce": (
+        f"WITH {BM25_CTE}, "
+        f"dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf "
+        f"        WHERE term IN ({_sql_terms([RARE, ABSENT])}) GROUP BY term), "
+        f"scored AS ( "
+        f"  SELECT tf.doc_id, "
+        f"         sum( ln(1 + (s.n - dfq.df + 0.5)/(dfq.df + 0.5)) "
+        f"              * tf.tf * {K1 + 1.0} / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score, "
+        f"         count(*) AS n_matched "
+        f"  FROM tf JOIN dfq ON tf.term = dfq.term "
+        f"  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s "
+        f"  GROUP BY tf.doc_id), "
+        "strict AS (SELECT doc_id, round(score, 6) AS score FROM scored "
+        "           WHERE n_matched = 2 ORDER BY score DESC, doc_id LIMIT 20), "
+        "relaxed AS (SELECT doc_id, round(score, 6) AS score FROM scored "
+        "            ORDER BY score DESC, doc_id LIMIT 20) "
+        "SELECT * FROM strict UNION ALL "
+        "SELECT * FROM relaxed WHERE NOT EXISTS (SELECT 1 FROM strict)"
+    ),
+    "topk_paged": (
+        f"WITH {BM25_CTE}, {_bm25_score_sql(OR3)} "
+        f"SELECT doc_id, round(score, 6) AS score FROM sc "
+        f"ORDER BY sc.score DESC, doc_id LIMIT 10 OFFSET 10"
+    ),
+}
+
+
+# ---------------------------------------------------------------------------
+# relational / maintenance queries (SURVEY.md §2.5)
+# ---------------------------------------------------------------------------
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def q_distinct_first(sf_dir):
+    """M15/Q11 distinct-by-key: first doc per (source, lang)."""
+    from .pipelines.relational import distinct_first_by_key
+
+    out = distinct_first_by_key(
+        _docs(sf_dir).select_columns(["doc_id", "source", "lang"]),
+        ["source", "lang"],
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["group_count"] = out["group_count"].astype(np.int64)
+    return out[["source", "lang", "doc_id", "group_count"]]
+
+
+def q_join_agg(sf_dir):
+    """G2 street-usage analog: lineitem count per order, joined back."""
+    import ray.data as rd
+
+    from .pipelines.relational import join_aggregate_counts
+
+    fact = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey"]
+    )
+    dim = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey"]
+    )
+    out = join_aggregate_counts(fact, "l_orderkey", dim, "o_orderkey").to_pandas()
+    out["ref_count"] = out["ref_count"].astype(np.int64)
+    return out[["o_orderkey", "ref_count"]]
+
+
+def q_group_stats(sf_dir):
+    """G3 tag-value statistics analog."""
+    from .pipelines.relational import group_stats
+
+    out = group_stats(_docs(sf_dir).select_columns(["lang"]), "lang").to_pandas()
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out[["lang", "cnt"]]
+
+
+def q_delete_by_query(sf_dir):
+    """S4 delete-by-query: survivors after dropping lang='de'."""
+    from .pipelines.relational import delete_by_query
+
+    out = delete_by_query(
+        _docs(sf_dir).select_columns(["doc_id", "lang"]), "lang", ("de",)
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out[["doc_id", "lang"]]
+
+
+def q_paged_scroll(sf_dir):
+    """S8 search_after page: lang='en', doc_id > 50, page of 100."""
+    from .pipelines.relational import paged_scroll
+
+    out = paged_scroll(
+        _docs(sf_dir).select_columns(["doc_id", "lang"]),
+        order_col="doc_id",
+        after=50,
+        page_size=100,
+        filter_col="lang",
+        filter_val="en",
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out[["doc_id"]]
+
+
+# ---------------------------------------------------------------------------
+# training-data operators
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(sf_dir):
+    from .pipelines.dedup import dedup_exact
+
+    out = dedup_exact(_docs(sf_dir)).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["dup_count"] = out["dup_count"].astype(np.int64)
+    return out[["doc_id", "dup_count"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def q_dedup_minhash(sf_dir):
+    from .pipelines.dedup import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(_docs(sf_dir), threshold=0.5)
+    out["est_jaccard"] = np.round(out["est_jaccard"].astype(np.float64), 6)
+    out["doc_a"] = out["doc_a"].astype(np.int64)
+    out["doc_b"] = out["doc_b"].astype(np.int64)
+    return out
+
+
+def q_dedup_simhash(sf_dir):
+    from .pipelines.dedup import simhash_pairs
+
+    out = simhash_pairs(_docs(sf_dir), max_hamming=3)
+    for c in ("doc_a", "doc_b", "hamming"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def q_dedup_ngram(sf_dir):
+    from .pipelines.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(_docs(sf_dir), n=3, threshold=0.8)
+    out["jaccard"] = np.round(out["jaccard"].astype(np.float64), 6)
+    return out
+
+
+def _emb(sf_dir):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def q_ann_topk(sf_dir):
+    """Exact cosine top-10 for query vectors vec_id ∈ {0,1,2}."""
+    import pyarrow.parquet as pq
+
+    from .pipelines.similarity import ann_topk_bruteforce
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    mask = np.isin(t["vec_id"].to_numpy(), [0, 1, 2])
+    qt = t.filter(pa.array(mask)).sort_by("vec_id")
+    qv = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
+    qids = qt["vec_id"].to_numpy()
+    out = ann_topk_bruteforce(_emb(sf_dir), qv, k=10)
+    out["qid"] = qids[out["qid"].to_numpy()]
+    out["cosine"] = np.round(out["cosine"].astype(np.float64), 4)
+    out["qid"] = out["qid"].astype(np.int64)
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    return out[["qid", "vec_id", "cosine"]]
+
+
+def q_ann_lsh(sf_dir):
+    """LSH-bucketed ANN (approximate — rows-only oracle)."""
+    import pyarrow.parquet as pq
+
+    from .pipelines.similarity import ann_topk_lsh
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    mask = np.isin(t["vec_id"].to_numpy(), [0, 1, 2])
+    qt = t.filter(pa.array(mask)).sort_by("vec_id")
+    qv = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
+    out = ann_topk_lsh(_emb(sf_dir), qv, k=10)
+    out["cosine"] = np.round(out["cosine"].astype(np.float64), 4)
+    return out
+
+
+def q_emb_neardup(sf_dir):
+    """All pairs with cosine ≥ 0.4 (threshold chosen inside a value gap
+    ≫ duckdb's float32 error; cosine rounded to 4)."""
+    from .pipelines.similarity import embedding_neardup_pairs
+
+    out = embedding_neardup_pairs(_emb(sf_dir), threshold=0.4)
+    out["cosine"] = np.round(out["cosine"].astype(np.float64), 4)
+    out["vec_a"] = out["vec_a"].astype(np.int64)
+    out["vec_b"] = out["vec_b"].astype(np.int64)
+    return out
+
+
+def q_token_stats(sf_dir):
+    from .pipelines.textstats import token_stats
+
+    out = token_stats(_docs(sf_dir).select_columns(["doc_id", "text"])).to_pandas()
+    out["avg_token_len"] = np.round(out["avg_token_len"].astype(np.float64), 6)
+    for c in ("doc_id", "token_count", "distinct_tokens"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def q_quality(sf_dir):
+    from .pipelines.textstats import quality_score
+
+    out = quality_score(_docs(sf_dir).select_columns(["doc_id", "text"])).to_pandas()
+    for c in ("punct_ratio", "digit_ratio", "quality"):
+        out[c] = np.round(out[c].astype(np.float64), 6)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_chars"] = out["n_chars"].astype(np.int64)
+    return out
+
+
+def q_token_count_bpe(sf_dir):
+    from .pipelines.textstats import token_count_bpe
+
+    out = token_count_bpe(_docs(sf_dir).select_columns(["doc_id", "text"])).to_pandas()
+    for c in ("doc_id", "ws_tokens", "bpe_tokens"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def q_lang_id(sf_dir):
+    from .pipelines.textstats import lang_id
+
+    out = lang_id(_docs(sf_dir).select_columns(["doc_id", "text"])).to_pandas()
+    out["confidence"] = np.round(out["confidence"].astype(np.float64), 6)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out
+
+
+def q_fingerprint(sf_dir):
+    from .pipelines.textstats import fingerprint
+
+    out = fingerprint(_docs(sf_dir).select_columns(["doc_id", "text"])).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["fingerprint"] = out["fingerprint"].astype(np.int64)
+    return out
+
+
+EXTRA_SQL = {
+    "distinct_first": (
+        "SELECT source, lang, min(doc_id)::BIGINT AS doc_id, "
+        "count(*)::BIGINT AS group_count FROM documents GROUP BY source, lang"
+    ),
+    "join_agg": (
+        "SELECT o.o_orderkey, count(l.l_orderkey)::BIGINT AS ref_count "
+        "FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "GROUP BY o.o_orderkey"
+    ),
+    "group_stats": "SELECT lang, count(*)::BIGINT AS cnt FROM documents GROUP BY lang",
+    "delete_by_query": "SELECT doc_id, lang FROM documents WHERE lang <> 'de'",
+    "paged_scroll": (
+        "SELECT doc_id FROM documents WHERE lang = 'en' AND doc_id > 50 "
+        "ORDER BY doc_id LIMIT 100"
+    ),
+    "dedup_exact": (
+        "SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS dup_count "
+        "FROM documents GROUP BY text ORDER BY doc_id"
+    ),
+    "ann_topk": (
+        "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0,1,2)), "
+        "sims AS (SELECT q.qid, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS cosine "
+        "         FROM q CROSS JOIN embeddings e), "
+        "ranked AS (SELECT qid, vec_id, cosine, "
+        "           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn FROM sims) "
+        "SELECT qid, vec_id, round(cosine, 4) AS cosine FROM ranked WHERE rn <= 10"
+    ),
+    "emb_neardup": (
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        "round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
+    ),
+    "token_stats": (
+        f"WITH {TOK_CTE} "
+        "SELECT d.doc_id, count(t.term)::BIGINT AS token_count, "
+        "count(DISTINCT t.term)::BIGINT AS distinct_tokens, "
+        "round(coalesce(avg(length(t.term)), 0), 6) AS avg_token_len "
+        "FROM documents d LEFT JOIN tok2 t ON t.doc_id = d.doc_id GROUP BY d.doc_id"
+    ),
+    "quality": (
+        "SELECT doc_id, length(text)::BIGINT AS n_chars, "
+        "round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) / greatest(length(text), 1)::DOUBLE, 6) AS punct_ratio, "
+        "round(length(regexp_replace(text, '[^0-9]', '', 'g')) / greatest(length(text), 1)::DOUBLE, 6) AS digit_ratio, "
+        "round(1.0 / (1.0 + exp(-(length(text) / 100.0 "
+        "  - (length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) / greatest(length(text), 1)::DOUBLE) * 5 "
+        "  - (length(regexp_replace(text, '[^0-9]', '', 'g')) / greatest(length(text), 1)::DOUBLE) * 5))), 6) AS quality "
+        "FROM documents"
+    ),
+    "token_count_bpe": (
+        "SELECT doc_id, "
+        "len(regexp_extract_all(text, '\\S+'))::BIGINT AS ws_tokens, "
+        "len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+'))::BIGINT AS bpe_tokens "
+        "FROM documents"
+    ),
+}
+
+
+def all_queries() -> dict:
+    return {
+        "term_stats": q_term_stats,
+        "doc_freq_top": q_doc_freq_top,
+        "corpus_stats": q_corpus_stats,
+        "bm25_rare": q_bm25_rare,
+        "bm25_hot": q_bm25_hot,
+        "bm25_or": q_bm25_or,
+        "bm25_and": q_bm25_and,
+        "bm25_msm2": q_bm25_msm2,
+        "bm25_dismax": q_bm25_dismax,
+        "bm25_filter_lang": q_bm25_filter_lang,
+        "bm25_prior": q_bm25_prior,
+        "prefix_docs": q_prefix_docs,
+        "bm25_coalesce": q_bm25_coalesce,
+        "topk_paged": q_topk_paged,
+        "distinct_first": q_distinct_first,
+        "join_agg": q_join_agg,
+        "group_stats": q_group_stats,
+        "delete_by_query": q_delete_by_query,
+        "paged_scroll": q_paged_scroll,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram": q_dedup_ngram,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "emb_neardup": q_emb_neardup,
+        "token_stats": q_token_stats,
+        "quality": q_quality,
+        "token_count_bpe": q_token_count_bpe,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+    }
+
+
+def all_oracle_sql() -> dict:
+    # dedup_minhash / dedup_simhash / dedup_ngram / ann_lsh / lang_id /
+    # fingerprint are not SQL-expressible → rows-only driver check
+    return {**SEARCH_SQL, **EXTRA_SQL}

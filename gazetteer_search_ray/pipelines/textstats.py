@@ -1,0 +1,189 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Not present in the reference (whose corpus is addresses), but first-class
+here: language-ID (n-gram/stopword heuristic), quality scoring, token
+counting (whitespace + BPE-ish regex), and rolling-hash document
+fingerprinting.  All are single-pass ``map_batches`` stages — the
+stopword tables and compiled regexes live in actor ``__init__``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+STOPWORDS = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für"},
+    "fr": {"le", "la", "les", "et", "de", "un", "une", "est", "pour", "que"},
+    "es": {"el", "la", "los", "de", "y", "un", "una", "es", "para", "que"},
+}
+
+
+def token_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-doc token_count / distinct_tokens / avg token length.
+
+    Tokenization identical to the SQL oracle: lower + split on
+    ``[^a-z0-9]+`` + drop empties.
+    """
+
+    def f(t: pa.Table) -> pa.Table:
+        lst = pc.split_pattern_regex(
+            pc.utf8_lower(t[text_col].combine_chunks()), pattern="[^a-z0-9]+"
+        )
+        flat = pc.list_flatten(lst)
+        parent = pc.list_parent_indices(lst)
+        mask = pc.not_equal(flat, "")
+        flat = flat.filter(mask)
+        parent = parent.filter(mask).to_numpy()
+        n = t.num_rows
+        counts = np.bincount(parent, minlength=n).astype(np.int64)
+        lens = pc.utf8_length(flat).to_numpy()
+        sum_len = np.zeros(n, dtype=np.int64)
+        np.add.at(sum_len, parent, lens)
+        # distinct per doc: count unique (doc, term) pairs
+        grp = (
+            pa.table({"term": flat, "row": pa.array(parent)})
+            .group_by(["term", "row"], use_threads=False)
+            .aggregate([])
+        )
+        distinct = np.bincount(grp["row"].to_numpy(), minlength=n).astype(np.int64)
+        avg_len = np.where(counts > 0, sum_len / np.maximum(counts, 1), 0.0)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "token_count": pa.array(counts),
+                "distinct_tokens": pa.array(distinct),
+                "avg_token_len": pa.array(avg_len, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+class LangId:
+    """Stopword-hit heuristic language identifier (actor-pool stage)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        import re
+
+        self.text_col = text_col
+        self.id_col = id_col
+        self.word = re.compile(r"[a-zA-Z]+")
+        self.tables = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        preds, confs = [], []
+        for text in t[self.text_col].to_pylist():
+            words = [w.lower() for w in self.word.findall(text or "")]
+            best, hits = "unknown", 0
+            for lang, table in self.tables.items():
+                h = sum(1 for w in words if w in table)
+                if h > hits:
+                    best, hits = lang, h
+            preds.append(best)
+            confs.append(hits / max(1, len(words)))
+        return pa.table(
+            {
+                self.id_col: t[self.id_col],
+                "pred_lang": pa.array(preds, pa.string()),
+                "confidence": pa.array(confs, pa.float64()),
+            }
+        )
+
+
+def lang_id(ds, text_col: str = "text", id_col: str = "doc_id", concurrency: int = 2):
+    return ds.map_batches(
+        LangId,
+        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def quality_score(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Length / punctuation-ratio / digit-ratio quality signals.
+
+    All-Arrow (regex counts via replace+length deltas) so every metric is
+    also expressible in the SQL oracle.
+    """
+
+    def f(t: pa.Table) -> pa.Table:
+        s = t[text_col].combine_chunks()
+        n_chars = pc.utf8_length(s)
+        stripped_alnum = pc.replace_substring_regex(s, pattern="[a-zA-Z0-9 ]", replacement="")
+        punct = pc.utf8_length(stripped_alnum)
+        stripped_digit = pc.replace_substring_regex(s, pattern="[^0-9]", replacement="")
+        digits = pc.utf8_length(stripped_digit)
+        nc = n_chars.to_numpy().astype(np.float64)
+        denom = np.maximum(nc, 1.0)
+        punct_ratio = punct.to_numpy() / denom
+        digit_ratio = digits.to_numpy() / denom
+        score = 1.0 / (1.0 + np.exp(-(nc / 100.0 - punct_ratio * 5 - digit_ratio * 5)))
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_chars": pc.cast(n_chars, pa.int64()),
+                "punct_ratio": pa.array(punct_ratio, pa.float64()),
+                "digit_ratio": pa.array(digit_ratio, pa.float64()),
+                "quality": pa.array(score, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id",
+                window: int = 8):
+    """Rolling-hash (Rabin-Karp style) document fingerprint: min of the
+    window hashes — a winnowing-style signature, stable under identical
+    content (deterministic, no PYTHONHASHSEED)."""
+    B = np.uint64(1000003)
+
+    def f(t: pa.Table) -> pa.Table:
+        out = np.zeros(t.num_rows, dtype=np.uint64)
+        for i, text in enumerate(t[text_col].to_pylist()):
+            b = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+            if b.size == 0:
+                continue
+            if b.size < window:
+                h = np.uint64(0)
+                for x in b:
+                    h = h * B + x
+                out[i] = h
+                continue
+            # vectorized rolling hash: window dot powers, mod 2^64 wrap
+            powers = B ** np.arange(window - 1, -1, -1, dtype=np.uint64)
+            win = np.lib.stride_tricks.sliding_window_view(b, window)
+            hs = (win * powers).sum(axis=1, dtype=np.uint64)
+            out[i] = hs.min()
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "fingerprint": pa.array(out.astype(np.int64).tolist(), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+_BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def token_count_bpe(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """BPE-ish token counting: letter runs, digit runs, symbol runs."""
+
+    def f(t: pa.Table) -> pa.Table:
+        s = t[text_col].combine_chunks()
+        ws = pc.count_substring_regex(s, pattern=r"\S+")
+        bpe = pc.count_substring_regex(s, pattern=_BPE_PATTERN)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "ws_tokens": pc.cast(ws, pa.int64()),
+                "bpe_tokens": pc.cast(bpe, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

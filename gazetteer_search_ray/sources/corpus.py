@@ -74,7 +74,7 @@ def documents_as_corpus(sf_dir: str):
 
     ds = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text", "lang", "source"],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
     )
 
     def adapt(batch: pa.Table) -> pa.Table:
@@ -96,6 +96,7 @@ def documents_as_corpus(sf_dir: str):
                 "commit": commits,
                 "lang": batch["lang"],
                 "content": batch["text"],
+                "n_chars": batch["n_chars"],
             }
         )
 
