@@ -1,0 +1,182 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Headline: index-build throughput (docs/sec) + query p50/p99 latency and
+QPS through the scorer actor pool, on the deterministic synthetic code
+corpus (FIXTURES.md §1), plus per-pipeline timings over the
+``$GRAFT_SF_DIR`` testdata tables.
+
+``--scaling`` runs the same job in fresh processes at two parallelism
+levels (8 and 32 CPUs — the sandbox stand-in for N vs 4N nodes, see
+BASELINE.md) and reports both throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("GSR_BENCH_DOCS", "40000"))
+BENCH_QUERIES = int(os.environ.get("GSR_BENCH_QUERIES", "2000"))
+CORPUS_DIR = f"/tmp/gsr_bench_corpus_{BENCH_DOCS}"
+
+VOCAB = ["def", "return", "import", "class", "self", "func", "struct",
+         "ident40", "ident100", "ident500", "getusername", "parse", "addr"]
+
+
+def make_queries(n: int) -> list[dict]:
+    out = []
+    for i in range(n):
+        nterms = 1 + (i % 3)
+        terms = [VOCAB[(i * 7 + j * 3) % len(VOCAB)] for j in range(nterms)]
+        out.append({"qid": i, "q": " ".join(terms), "k": 20, "prefix": i % 5 == 0})
+    return out
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    import numpy as np
+
+    from gazetteer_search_ray.functions.analyzer import AnalyzerConfig
+    from gazetteer_search_ray.pipelines.build_index import BuildOptions, build_index
+    from gazetteer_search_ray.pipelines.search import QueryScorer, Searcher
+    from gazetteer_search_ray.sources.corpus import read_corpus, write_synthetic_corpus
+
+    timings: dict[str, float] = {}
+
+    # -- corpus (cached, deterministic; generation untimed) --------------
+    if not os.path.exists(os.path.join(CORPUS_DIR, "corpus-0000.parquet")):
+        write_synthetic_corpus(CORPUS_DIR, n_docs=BENCH_DOCS, n_files=64)
+    # warm the page cache so we measure compute + shuffle, not cold disk
+    read_corpus(CORPUS_DIR).count()
+
+    # -- index build -----------------------------------------------------
+    idx_dir = f"/tmp/gsr_bench_idx_{NUM_CPUS}"
+    t0 = time.monotonic()
+    build_index(
+        read_corpus(CORPUS_DIR),
+        idx_dir,
+        BuildOptions(analyzer_config=AnalyzerConfig.code(), batch_size=512),
+        overwrite=True,
+    )
+    t_build = time.monotonic() - t0
+    timings["index_build"] = t_build
+
+    # -- query replay through the actor pool -----------------------------
+    import ray.data as rd
+
+    pool = max(2, NUM_CPUS // 2)
+    queries = make_queries(BENCH_QUERIES)
+    t0 = time.monotonic()
+    res = rd.from_items(queries).map_batches(
+        QueryScorer,
+        fn_constructor_kwargs=dict(index_dir=idx_dir),
+        batch_format="pyarrow",
+        batch_size=max(8, BENCH_QUERIES // (pool * 4)),
+        concurrency=pool,
+    )
+    n_hits = res.count()
+    t_query = time.monotonic() - t0
+    timings["query_replay"] = t_query
+
+    # -- per-query latency (sequential, warm single searcher) ------------
+    s = Searcher(idx_dir)
+    lat = []
+    for q in queries[:300]:
+        t0 = time.monotonic()
+        s.search(q["q"], k=q["k"], prefix=q["prefix"], use_prior=False)
+        lat.append((time.monotonic() - t0) * 1000)
+    lat = np.array(lat)
+
+    # -- sf-table pipelines (the driver-facing operators) ----------------
+    from gazetteer_search_ray import driver_queries as dq
+
+    sf_timings = {}
+    for name in ["bm25_or", "dedup_exact", "dedup_minhash", "ann_topk",
+                 "token_stats", "join_agg"]:
+        t0 = time.monotonic()
+        dq.all_queries()[name](SF_DIR)
+        sf_timings[name] = round(time.monotonic() - t0, 3)
+
+    total = sum(timings.values()) + sum(sf_timings.values())
+    out = {
+        "metric": "index_build_and_query_bench",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {**{k: round(v, 3) for k, v in timings.items()}, **sf_timings},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "index_build": {
+            "docs": BENCH_DOCS,
+            "sec": round(t_build, 3),
+            "docs_per_sec": round(BENCH_DOCS / t_build, 1),
+        },
+        "query": {
+            "n_queries": BENCH_QUERIES,
+            "result_rows": int(n_hits),
+            "qps": round(BENCH_QUERIES / t_query, 1),
+            "p50_ms": round(float(np.percentile(lat, 50)), 3),
+            "p99_ms": round(float(np.percentile(lat, 99)), 3),
+        },
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling():
+    import subprocess
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    b_lo = lo["index_build"]["docs_per_sec"]
+    b_hi = hi["index_build"]["docs_per_sec"]
+    q_lo = lo["query"]["qps"]
+    q_hi = hi["query"]["qps"]
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_8_to_32_cpus",
+                "build_docs_per_sec_8": b_lo,
+                "build_docs_per_sec_32": b_hi,
+                "build_scaling_efficiency": round((b_hi / b_lo) / 4.0, 3),
+                "query_qps_8": q_lo,
+                "query_qps_32": q_hi,
+                "query_scaling_efficiency": round((q_hi / q_lo) / 4.0, 3),
+                "sec_8": lo["value"],
+                "sec_32": hi["value"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -36,6 +36,7 @@ import pyarrow.compute as pc
 
 from ..functions.codec import BLOCK_SIZE, encode_posting, encode_posting_groups
 from ..state.manifest import atomic_write_table
+from .tokenize import flat_from_binary_col
 
 POSTINGS_SCHEMA = pa.schema(
     [
@@ -54,6 +55,9 @@ POSTINGS_SCHEMA = pa.schema(
 
 
 def _encoded_table(term_arr, shard_arr, enc: dict) -> pa.Table:
+    if isinstance(term_arr, pa.ChunkedArray):
+        term_arr = term_arr.combine_chunks()
+    term_arr = pc.cast(term_arr, pa.string())  # large_string after polars sort
     return pa.table(
         {
             "term": term_arr,
@@ -83,12 +87,9 @@ class SortedBlockEncoder:
     def __call__(self, t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return t
-        codes = pc.dictionary_encode(t["term"]).combine_chunks().indices.to_numpy()
-        shards = t["shard"].to_numpy()
+        codes = pc.dictionary_encode(t["skey"]).combine_chunks().indices.to_numpy()
         m = len(codes)
-        run_heads = np.concatenate(
-            ([0], np.flatnonzero((np.diff(codes) != 0) | (np.diff(shards) != 0)) + 1)
-        )
+        run_heads = np.concatenate(([0], np.flatnonzero(np.diff(codes) != 0) + 1))
         nruns = run_heads.size
         run_ends = np.append(run_heads[1:], m)
         if nruns <= 2:
@@ -98,10 +99,12 @@ class SortedBlockEncoder:
         lo_row, hi_row = int(run_ends[0]), int(run_heads[-1])
         inner = t.slice(lo_row, hi_row - lo_row)
         heads = run_heads[1:-1] - lo_row
-        docs = pc.list_flatten(inner["docs"]).to_numpy().astype(np.int64)
-        tfs = pc.list_flatten(inner["tfs"]).to_numpy().astype(np.int64)
-        dls = pc.list_flatten(inner["dls"]).to_numpy().astype(np.int64)
-        row_lens = pc.list_value_length(inner["docs"]).to_numpy().astype(np.int64)
+        docs, row_lens = flat_from_binary_col(inner["docs"], np.dtype("<i8"))
+        tfs, _ = flat_from_binary_col(inner["tfs"], np.dtype("<i4"))
+        dls, _ = flat_from_binary_col(inner["dls"], np.dtype("<i4"))
+        docs = docs.astype(np.int64)
+        tfs = tfs.astype(np.int64)
+        dls = dls.astype(np.int64)
         row_off = np.concatenate(([0], np.cumsum(row_lens)))
         ends = run_ends[1:-1] - lo_row
         group_offsets = np.concatenate((row_off[heads], [row_off[ends[-1]]]))
@@ -133,10 +136,13 @@ def make_postings_merger(block_size: int = BLOCK_SIZE):
     """
 
     def merge(group: pa.Table) -> pa.Table:
-        docs = pc.list_flatten(group["docs"]).to_numpy().astype(np.int64)
-        tfs = pc.list_flatten(group["tfs"]).to_numpy().astype(np.int64)
-        dls = pc.list_flatten(group["dls"]).to_numpy().astype(np.int64)
-        enc = encode_posting(docs, tfs, dls, block_size)
+        docs, _ = flat_from_binary_col(group["docs"], np.dtype("<i8"))
+        tfs, _ = flat_from_binary_col(group["tfs"], np.dtype("<i4"))
+        dls, _ = flat_from_binary_col(group["dls"], np.dtype("<i4"))
+        enc = encode_posting(
+            docs.astype(np.int64), tfs.astype(np.int64), dls.astype(np.int64),
+            block_size,
+        )
         enc_cols = {
             k: [enc[k]] if not isinstance(enc[k], np.ndarray) else [enc[k].tolist()]
             for k in ("df", "docs", "tfs", "block_last_doc", "block_max_tf",

@@ -41,15 +41,56 @@ import pyarrow.compute as pc
 from ..functions.analyzer import Analyzer, AnalyzerConfig
 from ..state.manifest import atomic_write_table
 
+# Packed partial postings. docs/tfs/dls are BINARY (raw little-endian
+# int64/int32/int32 vectors), NOT list columns: Ray's sort shuffle moves
+# binary columns like strings (cheap buffer slicing) while list columns
+# cost 10-40× in the sort reduce (measured) — this is the difference
+# between the merge shuffle being free and being the bottleneck.
+# ``skey`` fuses (term, shard) into ONE sort key ("term" when
+# num_doc_shards == 1, else "term\\x1f<shard:04d>"): Ray's multi-key
+# sort costs ~6× a single-key sort when payload columns ride along
+# (measured 20s vs 3s on 432k rows), and a single string key preserves
+# term order for row-group pruning.
 PARTIAL_SCHEMA = pa.schema(
     [
+        ("skey", pa.string()),
         ("term", pa.string()),
         ("shard", pa.int32()),
-        ("docs", pa.list_(pa.int64())),
-        ("tfs", pa.list_(pa.int32())),
-        ("dls", pa.list_(pa.int32())),
+        ("docs", pa.binary()),
+        ("tfs", pa.binary()),
+        ("dls", pa.binary()),
     ]
 )
+
+
+def binary_rows_from_flat(flat: np.ndarray, row_offsets: np.ndarray) -> pa.Array:
+    """Zero-copy BinaryArray: row i = flat[row_offsets[i]:row_offsets[i+1]]."""
+    itemsize = flat.dtype.itemsize
+    byte_off = (row_offsets.astype(np.int64) * itemsize).astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(),
+        len(row_offsets) - 1,
+        [None, pa.py_buffer(byte_off.tobytes()), pa.py_buffer(flat.tobytes())],
+    )
+
+
+def flat_from_binary_col(col, dtype) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse: (concatenated values, per-row value counts).
+
+    Valid for any BinaryArray because Arrow requires row i's payload to
+    occupy exactly [offsets[i], offsets[i+1]) — so the rows' payloads
+    are contiguous in the data buffer.
+    """
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    # polars-backed sort returns large_binary (int64 offsets)
+    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    off = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    itemsize = np.dtype(dtype).itemsize
+    seg = data[off[0] : off[-1]].copy()  # copy for alignment
+    return seg.view(dtype), (np.diff(off) // itemsize).astype(np.int64)
 
 DOCMETA_CARRY = ("repo", "path", "commit", "lang")
 
@@ -169,27 +210,40 @@ class TokenizeStage:
             }
         ).sort_by([("term", "ascending"), ("shard", "ascending")])
 
-        # pack runs of equal (term, shard) into list columns
+        # pack runs of equal (term, shard) into binary payload rows
         codes = pc.dictionary_encode(entries["term"]).combine_chunks().indices.to_numpy()
         shards = entries["shard"].to_numpy()
         m = len(codes)
         if m == 0:
             return PARTIAL_SCHEMA.empty_table()
         boundary = np.flatnonzero((np.diff(codes) != 0) | (np.diff(shards) != 0)) + 1
-        offsets = np.concatenate(([0], boundary, [m])).astype(np.int32)
+        offsets = np.concatenate(([0], boundary, [m])).astype(np.int64)
         heads = offsets[:-1]
+        terms_out = entries["term"].take(pa.array(heads))
+        shards_out = entries["shard"].take(pa.array(heads))
+        if self.num_doc_shards > 1:
+            skey = pa.array(
+                [
+                    f"{t}\x1f{s:04d}"
+                    for t, s in zip(terms_out.to_pylist(), shards_out.to_pylist())
+                ],
+                pa.string(),
+            )
+        else:
+            skey = terms_out
         return pa.table(
             {
-                "term": entries["term"].take(pa.array(heads)),
-                "shard": entries["shard"].take(pa.array(heads)),
-                "docs": pa.ListArray.from_arrays(
-                    pa.array(offsets), entries["doc"].combine_chunks()
+                "skey": skey,
+                "term": terms_out,
+                "shard": shards_out,
+                "docs": binary_rows_from_flat(
+                    entries["doc"].combine_chunks().to_numpy().astype("<i8"), offsets
                 ),
-                "tfs": pa.ListArray.from_arrays(
-                    pa.array(offsets), entries["tf"].combine_chunks()
+                "tfs": binary_rows_from_flat(
+                    entries["tf"].combine_chunks().to_numpy().astype("<i4"), offsets
                 ),
-                "dls": pa.ListArray.from_arrays(
-                    pa.array(offsets), entries["dl"].combine_chunks()
+                "dls": binary_rows_from_flat(
+                    entries["dl"].combine_chunks().to_numpy().astype("<i4"), offsets
                 ),
             }
         )
