@@ -120,28 +120,29 @@ def minhash_signatures(ds, num_perm=64, shingle_n=3, text_col="text",
     )
 
 
-def _band_rows(sig_table: pa.Table, bands: int, id_col: str) -> pa.Table:
-    """Explode signatures → (band_id, band_hash, doc_id) rows."""
-    sigs = np.array(sig_table["sig"].to_pylist(), dtype=np.uint64)
-    ids = sig_table[id_col].to_numpy()
-    n, num_perm = sigs.shape
-    rows_per = num_perm // bands
-    band_ids = np.repeat(np.arange(bands, dtype=np.int32), n)
-    doc_ids = np.tile(ids, bands)
-    hashes = np.empty(bands * n, dtype=np.int64)
-    for b in range(bands):
-        chunk = sigs[:, b * rows_per : (b + 1) * rows_per]
-        acc = np.zeros(n, dtype=np.uint64)
-        for c in range(rows_per):
-            acc = acc * np.uint64(1099511628211) + chunk[:, c]
-        hashes[b * n : (b + 1) * n] = acc.astype(np.int64)
-    return pa.table(
-        {
-            "band_id": pa.array(band_ids),
-            "band_hash": pa.array(hashes),
-            id_col: pa.array(doc_ids, pa.int64()),
-        }
-    )
+def _pairs_from_buckets(keys: np.ndarray, ids: np.ndarray,
+                        max_bucket: int = 1000) -> np.ndarray:
+    """All within-bucket (a<b) pairs, vectorized: sort by key, detect
+    runs, expand each run's upper triangle.  NEVER a per-group Python
+    callback — Ray's map_groups costs ~10ms/group, fatal at 10^4+
+    buckets (measured)."""
+    order = np.lexsort((ids, keys))
+    k, i = keys[order], ids[order]
+    heads = np.concatenate(([0], np.flatnonzero(np.diff(k) != 0) + 1, [k.size]))
+    out_a, out_b = [], []
+    for s, e in zip(heads[:-1], heads[1:]):
+        n = e - s
+        if n < 2 or n > max_bucket:
+            continue
+        ia, ib = np.triu_indices(n, k=1)
+        out_a.append(i[s + ia])
+        out_b.append(i[s + ib])
+    if not out_a:
+        return np.empty((0, 2), dtype=np.int64)
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    return np.unique(np.stack([lo, hi], axis=1), axis=0)
 
 
 def minhash_lsh_pairs(
@@ -155,47 +156,46 @@ def minhash_lsh_pairs(
 ):
     """Near-duplicate candidate pairs with estimated Jaccard ≥ threshold.
 
-    shingle → minhash → band → ``groupby(band_id, band_hash)`` bucket →
-    pairs within bucket → estimate from full signatures → dedup pairs.
+    shingle → minhash (distributed ``map_batches`` actor pool, the heavy
+    stage) → banding + bucket-pair generation + signature verification
+    on the collected signature table (num_perm×8B per doc — small by
+    construction; at larger N the banding becomes a sorted-run pass like
+    the postings merge, with the same vectorized run expansion).
     Returns columns (doc_a, doc_b, est_jaccard), doc_a < doc_b.
     """
-    import ray
-
     sigs = minhash_signatures(ds, num_perm, shingle_n, text_col, id_col)
-    # signatures are small (num_perm * 8B per doc); broadcast for the
-    # verification stage
     sig_tbl = sigs.to_pandas()
-    sig_ref = ray.put(
-        dict(zip(sig_tbl[id_col], [np.asarray(s, dtype=np.int64) for s in sig_tbl["sig"]]))
-    )
-    band_tbl = _band_rows(pa.Table.from_pandas(sig_tbl), bands, id_col)
-    import ray.data as rd
-
-    bands_ds = rd.from_arrow(band_tbl)
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].to_numpy())
-        if ids.size < 2 or ids.size > 1000:  # skip degenerate mega-buckets
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        ia, ib = np.triu_indices(ids.size, k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
-
-    pairs = (
-        bands_ds.groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-    )
-    pdf = pairs.to_pandas().drop_duplicates()
-    if pdf.empty:
+    ids = sig_tbl[id_col].to_numpy().astype(np.int64)
+    sig_mat = np.array(sig_tbl["sig"].tolist(), dtype=np.int64)
+    if ids.size == 0:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64"),
                              "est_jaccard": pd.Series([], dtype="float64")})
-    sig_map = ray.get(sig_ref)
-    a = np.stack([sig_map[d] for d in pdf["doc_a"]])
-    b = np.stack([sig_map[d] for d in pdf["doc_b"]])
-    est = (a == b).mean(axis=1)
-    pdf = pdf.assign(est_jaccard=est)
-    pdf = pdf[pdf["est_jaccard"] >= threshold]
-    return pdf.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    rows_per = num_perm // bands
+    pair_set = []
+    for b in range(bands):
+        chunk = sig_mat[:, b * rows_per : (b + 1) * rows_per].astype(np.uint64)
+        acc = np.zeros(ids.size, dtype=np.uint64)
+        for c in range(rows_per):
+            acc = acc * np.uint64(1099511628211) + chunk[:, c]
+        pair_set.append(_pairs_from_buckets(acc.astype(np.int64), ids))
+    pairs = np.unique(np.concatenate(pair_set), axis=0)
+    if pairs.size == 0:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "est_jaccard": pd.Series([], dtype="float64")})
+    pos = {int(d): j for j, d in enumerate(ids)}
+    ia = np.array([pos[int(d)] for d in pairs[:, 0]])
+    ib = np.array([pos[int(d)] for d in pairs[:, 1]])
+    est = (sig_mat[ia] == sig_mat[ib]).mean(axis=1)
+    keep = est >= threshold
+    return (
+        pd.DataFrame(
+            {"doc_a": pairs[keep, 0], "doc_b": pairs[keep, 1], "est_jaccard": est[keep]}
+        )
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
 
 
 class SimHasher:
@@ -244,43 +244,36 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text",
         concurrency=concurrency,
     )
 
-    def explode(t: pa.Table) -> pa.Table:
-        h = t["simhash"].to_numpy().astype(np.uint64)
-        ids = t[id_col].to_numpy()
-        out_band, out_key, out_id, out_h = [], [], [], []
-        for b in range(4):
-            out_band.append(np.full(h.size, b, dtype=np.int32))
-            out_key.append(((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64))
-            out_id.append(ids)
-            out_h.append(h.astype(np.int64))
-        return pa.table(
-            {
-                "band_id": pa.array(np.concatenate(out_band)),
-                "band_key": pa.array(np.concatenate(out_key)),
-                id_col: pa.array(np.concatenate(out_id), pa.int64()),
-                "simhash": pa.array(np.concatenate(out_h)),
-            }
+    sig_tbl = sigs.to_pandas()
+    ids = sig_tbl[id_col].to_numpy().astype(np.int64)
+    hs = sig_tbl["simhash"].to_numpy().astype(np.uint64)
+    if ids.size == 0:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64")})
+    pair_set = []
+    for b in range(4):
+        key = ((hs >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+        pair_set.append(_pairs_from_buckets(key, ids, max_bucket=2000))
+    pairs = np.unique(np.concatenate(pair_set), axis=0)
+    if pairs.size == 0:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64")})
+    pos = {int(d): j for j, d in enumerate(ids)}
+    ia = np.array([pos[int(d)] for d in pairs[:, 0]])
+    ib = np.array([pos[int(d)] for d in pairs[:, 1]])
+    x = hs[ia] ^ hs[ib]
+    # vectorized popcount via byte-view + bit-count table
+    ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1).astype(np.int64)
+    keep = ham <= max_hamming
+    return (
+        pd.DataFrame(
+            {"doc_a": pairs[keep, 0], "doc_b": pairs[keep, 1], "hamming": ham[keep]}
         )
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        hs = g["simhash"].to_numpy().astype(np.uint64)
-        if ids.size < 2 or ids.size > 2000:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        ia, ib = np.triu_indices(ids.size, k=1)
-        x = hs[ia] ^ hs[ib]
-        ham = np.array([bin(v).count("1") for v in x], dtype=np.int64)
-        m = ham <= max_hamming
-        return pd.DataFrame({"doc_a": ids[ia][m], "doc_b": ids[ib][m], "hamming": ham[m]})
-
-    pairs = (
-        sigs.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band_id", "band_key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
     )
-    pdf = pairs.to_pandas().drop_duplicates(subset=["doc_a", "doc_b"])
-    return pdf.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def ngram_jaccard_pairs(

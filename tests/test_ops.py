@@ -1,0 +1,235 @@
+"""Training-data operators: dedup family, similarity search, text
+analysis, relational/maintenance jobs, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs right now please",
+        "sphinx of black quartz judge my vow said the wizard",
+        "how vexingly quick daft zebras jump over fences",
+        "the five boxing wizards jump quickly over the lazy fence",
+    ]
+    rows = []
+    for i in range(40):
+        text = base[i % len(base)] + f" tail{i % 10}"
+        rows.append({"doc_id": i, "text": text, "lang": "en"})
+    # exact duplicates: 40..44 duplicate doc 0's text
+    for i in range(40, 45):
+        rows.append({"doc_id": i, "text": rows[0]["text"], "lang": "en"})
+    # near duplicate of doc 1: one word changed
+    rows.append(
+        {"doc_id": 45, "text": rows[1]["text"].replace("five", "six"), "lang": "en"}
+    )
+    return rd.from_items(rows), rows
+
+
+def test_dedup_exact_keeps_min_id(docs_ds):
+    from gazetteer_search_ray.pipelines.dedup import dedup_exact
+
+    ds, rows = docs_ds
+    out = dedup_exact(ds).to_pandas()
+    n_doc0_copies = sum(1 for r in rows if r["text"] == rows[0]["text"])
+    dup_row = out[out["doc_id"] == 0]
+    assert len(dup_row) == 1
+    assert int(dup_row["dup_count"].iloc[0]) == n_doc0_copies  # min id kept
+    assert out["dup_count"].sum() == len(rows)
+
+
+def test_minhash_finds_exact_and_near_dups(docs_ds):
+    from gazetteer_search_ray.pipelines.dedup import minhash_lsh_pairs
+
+    ds, rows = docs_ds
+    pairs = minhash_lsh_pairs(ds, threshold=0.5)
+    got = {(int(a), int(b)) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (0, 40) in got  # exact dup pair surfaces
+    assert (1, 45) in got or (45, 1) in got  # near dup pair surfaces
+    exact = pairs[(pairs["doc_a"] == 0) & (pairs["doc_b"] == 40)]
+    assert float(exact["est_jaccard"].iloc[0]) == 1.0
+
+
+def test_minhash_deterministic(docs_ds):
+    from gazetteer_search_ray.pipelines.dedup import minhash_lsh_pairs
+
+    ds, _ = docs_ds
+    p1 = minhash_lsh_pairs(ds, threshold=0.5)
+    p2 = minhash_lsh_pairs(ds, threshold=0.5)
+    pd.testing.assert_frame_equal(p1, p2)
+
+
+def test_simhash_pairs(docs_ds):
+    from gazetteer_search_ray.pipelines.dedup import simhash_pairs
+
+    ds, _ = docs_ds
+    pairs = simhash_pairs(ds, max_hamming=3)
+    got = {(int(a), int(b)) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (0, 40) in got  # identical text → hamming 0
+    ham0 = pairs[(pairs["doc_a"] == 0) & (pairs["doc_b"] == 40)]
+    assert int(ham0["hamming"].iloc[0]) == 0
+
+
+def test_ngram_jaccard_exact_values(docs_ds):
+    from gazetteer_search_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    ds, _ = docs_ds
+    pairs = ngram_jaccard_pairs(ds, n=3, threshold=0.99)
+    got = {(int(a), int(b)): j for a, b, j in
+           zip(pairs["doc_a"], pairs["doc_b"], pairs["jaccard"])}
+    assert got[(0, 40)] == 1.0
+
+
+def test_ann_bruteforce_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.similarity import ann_topk_bruteforce
+
+    rng = np.random.default_rng(5)
+    n, d = 200, 16
+    m = rng.standard_normal((n, d))
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": m[i].tolist()} for i in range(n)]
+    )
+    q = m[:2]
+    out = ann_topk_bruteforce(ds, q, k=5)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn[:2].T
+    for qi in range(2):
+        exp = np.lexsort((np.arange(n), -sims[:, qi]))[:5]
+        got = out[out["qid"] == qi].sort_values("rank")["vec_id"].to_numpy()
+        np.testing.assert_array_equal(got, exp)
+        assert int(got[0]) == qi  # self is nearest
+
+
+def test_ann_lsh_recall(ray_session):
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_lsh,
+    )
+
+    rng = np.random.default_rng(6)
+    n, d = 300, 16
+    m = rng.standard_normal((n, d))
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": m[i].tolist()} for i in range(n)]
+    )
+    q = m[:3]
+    exact = ann_topk_bruteforce(ds, q, k=5)
+    approx = ann_topk_lsh(ds, q, k=5, planes=8)
+    # top-1 (self) must always be found; recall@5 reasonable
+    hits = 0
+    for qi in range(3):
+        e = set(exact[exact["qid"] == qi]["vec_id"])
+        a = set(approx[approx["qid"] == qi]["vec_id"])
+        assert qi in a
+        hits += len(e & a)
+    assert hits >= 6  # ≥40% recall across 15 slots
+
+
+def test_embedding_neardup(ray_session):
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.similarity import embedding_neardup_pairs
+
+    rng = np.random.default_rng(7)
+    m = rng.standard_normal((50, 8))
+    m[10] = m[3] * 2.0  # same direction → cosine 1
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": m[i].tolist()} for i in range(50)]
+    )
+    pairs = embedding_neardup_pairs(ds, threshold=0.99)
+    got = {(int(a), int(b)) for a, b in zip(pairs["vec_a"], pairs["vec_b"])}
+    assert (3, 10) in got
+
+
+def test_token_stats_and_quality(docs_ds):
+    from gazetteer_search_ray.pipelines.textstats import quality_score, token_stats
+
+    ds, rows = docs_ds
+    ts = token_stats(ds).to_pandas().set_index("doc_id")
+    r0 = rows[0]["text"]
+    assert ts.loc[0, "token_count"] == len(r0.split())
+    qs = quality_score(ds).to_pandas().set_index("doc_id")
+    assert qs.loc[0, "n_chars"] == len(r0)
+    assert 0 <= qs.loc[0, "quality"] <= 1
+
+
+def test_lang_id_heuristic(ray_session):
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.textstats import lang_id
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 0, "text": "the cat and the dog of the house is in a tree"},
+            {"doc_id": 1, "text": "der Hund und die Katze ist nicht ein Vogel"},
+            {"doc_id": 2, "text": "le chat et le chien est pour la maison"},
+        ]
+    )
+    out = lang_id(ds).to_pandas().set_index("doc_id")
+    assert out.loc[0, "pred_lang"] == "en"
+    assert out.loc[1, "pred_lang"] == "de"
+    assert out.loc[2, "pred_lang"] == "fr"
+
+
+def test_fingerprint_stable_and_content_sensitive(docs_ds):
+    from gazetteer_search_ray.pipelines.textstats import fingerprint
+
+    ds, rows = docs_ds
+    fp = fingerprint(ds).to_pandas().set_index("doc_id")
+    assert fp.loc[0, "fingerprint"] == fp.loc[40, "fingerprint"]  # same text
+    assert fp.loc[0, "fingerprint"] != fp.loc[1, "fingerprint"]
+
+
+def test_name_agg_index_cumcount(ray_session):
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.relational import name_agg_index
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 5, "k": "a"},
+            {"doc_id": 3, "k": "a"},
+            {"doc_id": 7, "k": "b"},
+        ]
+    )
+    out = name_agg_index(ds, ["k"]).to_pandas().set_index("doc_id")
+    # M15 semantics: index 0 goes to the smallest doc_id per key
+    assert out.loc[3, "by_name_agg_index"] == 0
+    assert out.loc[5, "by_name_agg_index"] == 1
+    assert out.loc[7, "by_name_agg_index"] == 0
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.multimodal import (
+        DecodeImage,
+        decode_images,
+        make_fake_image_table,
+        sample_frames,
+    )
+
+    t = make_fake_image_table(12)
+    ds = rd.from_arrow(t)
+    feats = decode_images(ds, fake=True, feature_dim=8).to_pandas()
+    assert len(feats) == 12
+    assert all(len(f) == 8 for f in feats["feature"])
+    # deterministic: same payload → same features
+    f2 = decode_images(rd.from_arrow(t), fake=True, feature_dim=8).to_pandas()
+    assert [list(f) for f in feats["feature"]] == [list(f) for f in f2["feature"]]
+    # real decoder is stubbed
+    with pytest.raises(NotImplementedError):
+        DecodeImage(fake=False)._decode(b"xx", {})
+    frames = sample_frames(ds).to_pandas()
+    assert len(frames) > 12
+    assert set(frames.columns) == {"item_id", "frame_idx", "frame"}
