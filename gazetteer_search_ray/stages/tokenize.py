@@ -136,6 +136,10 @@ class TokenizeStage:
         self.score_builder = score_builder
         self.compute_sha256 = compute_sha256
         self._fast = _is_arrow_fast_path(self.config)
+        # distinct-token → expansion cache (persists across batches)
+        self._exp_cache: dict[str, list[str]] = {}
+        # the semi-vectorized path assumes the default separator class
+        self._vectorizable = self.config.split_pattern == r"[^a-z0-9]+"
 
     # -- tokenization ----------------------------------------------------
 
@@ -158,6 +162,72 @@ class TokenizeStage:
             rows.extend([i] * len(t))
         return pa.array(toks, pa.string()), np.asarray(rows, dtype=np.int64)
 
+    def _expand_token(self, raw: str) -> list[str]:
+        """Full normalization chain for ONE raw (case-preserved) token —
+        called once per DISTINCT token per actor (cached)."""
+        from ..functions.analyzer import _CAMEL_RE, Analyzer
+
+        c = self.config
+        t = raw
+        if c.char_replaces:
+            t = t.translate(self.analyzer._char_map)
+        if c.fold_diacritics and not t.isascii():
+            t = Analyzer.fold(t)
+        base = t.lower() if c.lowercase else t
+        subs: list[str] = []
+        if c.split_compounds:
+            parts = _CAMEL_RE.findall(t)
+            if len(parts) > 1:
+                subs = [p.lower() for p in parts]
+        out = []
+        for tok in [base, *subs]:
+            if self.analyzer._syn:
+                tok = self.analyzer._synonym(tok)
+            if not tok or tok in c.stop_terms:
+                continue
+            out.append(tok)
+        return out
+
+    def _tokenize_vectorized(self, content):
+        """Code-analyzer fast path: Arrow split (case-preserving), then
+        the Python normalization chain runs only on DISTINCT tokens
+        (cached across batches in the actor); the per-occurrence
+        expansion is a pure numpy gather.  ~10× over the per-row loop
+        at code-corpus shapes."""
+        arr = content.combine_chunks() if isinstance(content, pa.ChunkedArray) else content
+        pat = r"[^0-9a-zA-Z]+" if self.config.ascii_only else r"[^\p{L}\p{N}]+"
+        lst = pc.split_pattern_regex(arr, pattern=pat)
+        flat = pc.list_flatten(lst)
+        parent = pc.list_parent_indices(lst)
+        mask = pc.not_equal(flat, "")
+        flat = flat.filter(mask)
+        parent = parent.filter(mask).to_numpy()
+        d = pc.dictionary_encode(flat)
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        codes = d.indices.to_numpy()
+        uniq = d.dictionary.to_pylist()
+        cache = self._exp_cache
+        exp_lists = []
+        for tok in uniq:
+            e = cache.get(tok)
+            if e is None:
+                e = self._expand_token(tok)
+                cache[tok] = e
+            exp_lists.append(e)
+        exp_counts = np.array([len(e) for e in exp_lists], dtype=np.int64)
+        exp_off = np.concatenate(([0], np.cumsum(exp_counts)))
+        exp_flat = pa.array([x for e in exp_lists for x in e], pa.string())
+        counts = exp_counts[codes]
+        total = int(counts.sum())
+        if total == 0:
+            return pa.array([], pa.string()), np.empty(0, dtype=np.int64)
+        rep_parent = np.repeat(parent, counts)
+        seg_off = np.concatenate(([0], np.cumsum(counts)))
+        within = np.arange(total, dtype=np.int64) - np.repeat(seg_off[:-1], counts)
+        pos = np.repeat(exp_off[codes], counts) + within
+        return exp_flat.take(pa.array(pos)), rep_parent
+
     # -- main ------------------------------------------------------------
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -169,6 +239,8 @@ class TokenizeStage:
 
         if self._fast:
             flat, parent = self._tokenize_arrow(content)
+        elif self._vectorizable:
+            flat, parent = self._tokenize_vectorized(content)
         else:
             flat, parent = self._tokenize_python(content)
         dl = np.bincount(parent, minlength=n).astype(np.int64)

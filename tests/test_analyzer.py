@@ -99,3 +99,27 @@ def test_index_query_symmetry():
     # gets by sharing IndexAnalyzer between import and query paths)
     s = "HandleHttpRequest (fast_path) straße"
     assert code.terms(s) == code.terms(s)
+
+
+def test_vectorized_tokenizer_matches_analyzer():
+    """TokenizeStage's distinct-token vectorized path must emit exactly
+    the token stream of Analyzer.tokens (non-deduped) per row."""
+    import numpy as np
+    import pyarrow as pa
+
+    from gazetteer_search_ray.functions.analyzer import Analyzer, AnalyzerConfig
+    from gazetteer_search_ray.sources.corpus import synthetic_corpus
+    from gazetteer_search_ray.stages.tokenize import TokenizeStage
+
+    cfg = AnalyzerConfig.code()
+    stage = TokenizeStage(cfg)
+    assert stage._vectorizable and not stage._fast
+    t = synthetic_corpus(80)
+    flat, parent = stage._tokenize_vectorized(t["content"])
+    got = {}
+    for tok, row in zip(flat.to_pylist(), parent.tolist()):
+        got.setdefault(row, []).append(tok)
+    an = Analyzer(AnalyzerConfig(**{**cfg.__dict__, "dedup": False}))
+    for i, text in enumerate(t["content"].to_pylist()):
+        exp = [tok for tok, _ in an.tokens(text)]
+        assert got.get(i, []) == exp, f"row {i}"
