@@ -142,8 +142,24 @@ def _union_max(parts, tie_breaker: float):
 
 
 def _intersect(a_docs, a_scores, b_docs, b_scores):
-    common, ia, ib = np.intersect1d(a_docs, b_docs, assume_unique=True, return_indices=True)
-    return common, a_scores[ia] + b_scores[ib]
+    """Intersection of two SORTED unique doc arrays via searchsorted —
+    O(m log n), no re-sort (np.intersect1d would sort the concat)."""
+    if a_docs.size == 0 or b_docs.size == 0:
+        return EMPTY_I, EMPTY_F
+    if a_docs.size < b_docs.size:
+        a_docs, a_scores, b_docs, b_scores = b_docs, b_scores, a_docs, a_scores
+    idx = np.searchsorted(a_docs, b_docs)
+    idx_c = np.minimum(idx, a_docs.size - 1)
+    hit = a_docs[idx_c] == b_docs
+    return b_docs[hit], a_scores[idx_c[hit]] + b_scores[hit]
+
+
+def _in_sorted(docs: np.ndarray, members: np.ndarray) -> np.ndarray:
+    """Boolean mask: docs[i] ∈ members (both sorted unique)."""
+    if members.size == 0:
+        return np.zeros(docs.size, dtype=bool)
+    idx = np.minimum(np.searchsorted(members, docs), members.size - 1)
+    return members[idx] == docs
 
 
 def _gather_scores(docs, src_docs, src_scores):
@@ -199,16 +215,14 @@ class QueryEngine:
         if isinstance(node, Term):
             return self.eval_term(node)
         if isinstance(node, Prefix):
-            terms = self.reader.prefix_terms(node.prefix, node.max_expansions)
-            doc_sets = []
-            for t in terms:
-                tp = self.reader.posting(t)
-                if tp:
-                    doc_sets.append(self.reader.decode_all(tp)[0])
-            if not doc_sets:
-                return EMPTY_I, EMPTY_F
-            u = np.unique(np.concatenate(doc_sets))
-            return u, np.full(u.size, float(node.boost))
+            ckey = ("__prefix__" + node.prefix, float(node.boost) * 1e9 + node.max_expansions)
+            hit = self._term_eval_cache.get(ckey)
+            if hit is not None:
+                return hit
+            res = self._eval_prefix(node)
+            if len(self._term_eval_cache) < 1024:
+                self._term_eval_cache[ckey] = res
+            return res
         if isinstance(node, ConstantScore):
             docs, _ = self.evaluate(node.child)
             return docs, np.full(docs.size, float(node.score))
@@ -229,6 +243,18 @@ class QueryEngine:
             return self._eval_bool(node)
         raise TypeError(f"unknown plan node {type(node)}")
 
+    def _eval_prefix(self, node: Prefix):
+        terms = self.reader.prefix_terms(node.prefix, node.max_expansions)
+        doc_sets = []
+        for t in terms:
+            tp = self.reader.posting(t)
+            if tp:
+                doc_sets.append(self.reader.decode_all(tp)[0])
+        if not doc_sets:
+            return EMPTY_I, EMPTY_F
+        u = np.unique(np.concatenate(doc_sets))
+        return u, np.full(u.size, float(node.boost))
+
     def _eval_bool(self, node: Bool):
         docs: np.ndarray | None = None
         scores: np.ndarray | None = None
@@ -246,10 +272,8 @@ class QueryEngine:
             if docs is None:
                 docs, scores = fd, np.zeros(fd.size)
             else:
-                common, ia, _ib = np.intersect1d(
-                    docs, fd, assume_unique=True, return_indices=True
-                )
-                docs, scores = common, scores[ia]
+                hit = _in_sorted(docs, fd)
+                docs, scores = docs[hit], scores[hit]
             if docs.size == 0:
                 return EMPTY_I, EMPTY_F
 
@@ -272,10 +296,8 @@ class QueryEngine:
                 if msm > 0:
                     c_docs, counts = _union_counts([p[0] for p in sparts])
                     ok = c_docs[counts >= msm]
-                    common, ia, _ = np.intersect1d(
-                        docs, ok, assume_unique=True, return_indices=True
-                    )
-                    docs, scores = common, scores[ia]
+                    hit = _in_sorted(docs, ok)
+                    docs, scores = docs[hit], scores[hit]
                 if docs.size:
                     scores = scores + _gather_scores(docs, s_docs, s_scores)
 
@@ -285,7 +307,7 @@ class QueryEngine:
         for child in node.must_not:
             nd, _ = self.evaluate(child)
             if nd.size:
-                mask = ~np.isin(docs, nd, assume_unique=True)
+                mask = ~_in_sorted(docs, nd)
                 docs, scores = docs[mask], scores[mask]
 
         return docs, scores * node.boost
