@@ -29,7 +29,11 @@ import pyarrow.dataset as pads
 
 from ..functions.analyzer import AnalyzerConfig
 from ..functions.codec import BLOCK_SIZE
-from ..stages.postings import SortedBlockEncoder, make_postings_merger
+from ..stages.postings import (
+    SortedBlockEncoder,
+    encode_partials_table,
+    make_postings_merger,
+)
 from ..stages.tokenize import TokenizeStage
 from ..state import manifest as mf
 
@@ -54,6 +58,9 @@ class BuildOptions:
     row_group_size: int = 4096
     # reduce partitions for the merge sort; None → ~1 per cluster CPU
     sort_partitions: int | None = None
+    # boundary sets up to this many rows merge on the driver (one
+    # vectorized pass) instead of a second all-to-all groupby
+    boundary_driver_limit: int = 500_000
 
 
 def _analyzer_dict(c: AnalyzerConfig) -> dict:
@@ -124,10 +131,29 @@ def build_index(ds, index_dir: str, opts: BuildOptions | None = None, overwrite:
         batch_format="pyarrow",
         batch_size=None,
     )
-    rest = boundary.groupby("skey").map_groups(
-        make_postings_merger(opts.block_size), batch_format="pyarrow"
-    )
-    rest.write_parquet(postings_dir, row_group_size=opts.row_group_size)
+    # Boundary runs are O(2 × sort blocks) keys — merge them on the
+    # driver in one vectorized pass when small (saves an all-to-all);
+    # fall back to the distributed groupby for pathological sizes.
+    bmat = boundary.materialize()
+    if bmat.count() <= opts.boundary_driver_limit:
+        import pyarrow as pa
+
+        # blocks mix string/large_string depending on whether the
+        # polars sort touched them — permissive promotion unifies
+        tbl = pa.concat_tables(
+            [ray.get(ref) for ref in bmat.to_arrow_refs()],
+            promote_options="permissive",
+        )
+        rest_tbl = encode_partials_table(tbl, opts.block_size)
+        if rest_tbl.num_rows:
+            mf.atomic_write_table(
+                rest_tbl, os.path.join(postings_dir, "postings-boundary.parquet")
+            )
+    else:
+        rest = bmat.groupby("skey").map_groups(
+            make_postings_merger(opts.block_size), batch_format="pyarrow"
+        )
+        rest.write_parquet(postings_dir, row_group_size=opts.row_group_size)
 
     # global stats from the (tiny, one-row-per-doc) doc store
     meta = pads.dataset(docmeta_dir, format="parquet")

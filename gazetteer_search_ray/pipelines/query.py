@@ -91,6 +91,29 @@ class ColumnFilter:
 
 
 @dataclass(frozen=True)
+class RangeFilter:
+    """Non-scoring numeric range predicate on a doc-store column
+    (reference Q7's ``housenumber_number ∈ [n−16, n+16]`` branch,
+    ``builders/HousenumbersPart.java:42-81``)."""
+
+    column: str
+    lo: float
+    hi: float
+
+
+@dataclass(frozen=True)
+class Fuzzy:
+    """Edit-distance-1 term expansion (reference Q2 ``fuzziness("1")``,
+    ``builders/MatchPart.java:19-81``): the union of postings of every
+    dictionary term within Damerau-Levenshtein distance ≤ 1, each
+    scored by its own BM25 (like ES's rewritten fuzzy query)."""
+
+    term: str
+    boost: float = 1.0
+    max_expansions: int = 50
+
+
+@dataclass(frozen=True)
 class FunctionScore:
     """score' = score * doc_prior * weight (reference Q6:
     ``_score * base_score * w`` — DisMaxUnion.java:42-45)."""
@@ -229,6 +252,13 @@ class QueryEngine:
         if isinstance(node, ColumnFilter):
             docs = self.reader.docs_matching(node.column, node.values)
             return docs, np.zeros(docs.size)
+        if isinstance(node, RangeFilter):
+            docs = self.reader.docs_in_range(node.column, node.lo, node.hi)
+            return docs, np.zeros(docs.size)
+        if isinstance(node, Fuzzy):
+            terms = self.reader.fuzzy_terms(node.term, node.max_expansions)
+            parts = [self.eval_term(Term(t, node.boost)) for t in terms]
+            return _union_sum(parts)
         if isinstance(node, DisMax):
             parts = [self.evaluate(c) for c in node.children]
             docs, scores = _union_max(parts, node.tie_breaker)

@@ -115,11 +115,20 @@ def build_cascade(
 
 
 class Searcher:
-    """Single-process search facade (reference: ESDefaultSearch)."""
+    """Single-process search facade (reference: ESDefaultSearch).
 
-    def __init__(self, index_dir: str):
+    ``aux_lookup`` is the Q12 analog (POI-class secondary-index lookup,
+    ``ESDefaultSearch.java:227-279``): a small broadcast dict mapping
+    query tokens to a structured class — matched classes add a
+    constant-score boost branch over a doc-store column (the reference
+    boosts matched poi_class with constant_score 100000).  For a code
+    corpus the natural instance maps language keywords → ``lang``.
+    """
+
+    def __init__(self, index_dir: str, aux_lookup: dict[str, tuple[str, str]] | None = None):
         self.reader = IndexReader(index_dir)
         self.engine = QueryEngine(self.reader)
+        self.aux_lookup = aux_lookup or {}
 
     def search(
         self,
@@ -129,11 +138,15 @@ class Searcher:
         filters: dict | None = None,
         coalesce: bool = True,
         use_prior: bool = True,
+        trim: bool = False,
+        verbose: bool = False,
     ) -> list[dict]:
         pq = analyze_query(q, self.reader.analyzer, prefix)
         variants = build_cascade(pq, filters, use_prior)
         if not variants:
             return []
+        if self.aux_lookup:
+            variants = [self._with_aux_boost(v, pq) for v in variants]
         if not coalesce:
             variants = variants[-1:]
         docs = scores = None
@@ -143,17 +156,62 @@ class Searcher:
                 break
         if docs is None or docs.size == 0:
             return []
-        return self.project(docs, scores)
+        if trim:
+            docs, scores = self._trim(docs, scores, pq)
+        return self.project(docs, scores, verbose)
 
-    def project(self, docs: np.ndarray, scores: np.ndarray) -> list[dict]:
-        """Hit projection from the doc store (Q17)."""
+    def _with_aux_boost(self, plan, pq: ParsedQuery):
+        """Wrap a cascade variant with secondary-lookup boosts (Q12)."""
+        from .query import ConstantScore
+
+        boosts = []
+        for tok in pq.all_terms:
+            hit = self.aux_lookup.get(tok)
+            if hit is not None:
+                col, value = hit
+                boosts.append(
+                    ConstantScore(ColumnFilter(col, (value,)), score=100.0)
+                )
+        if not boosts:
+            return plan
+        return Bool(must=(plan,), should=tuple(boosts))
+
+    def _trim(self, docs: np.ndarray, scores: np.ndarray, pq: ParsedQuery):
+        """Result-list trim (Q16, ``ESDefaultSearch.java:281-313``): the
+        reference walks the ranked hits and cuts the list at the first
+        hit whose matched parts show it only matched the weaker query
+        branches.  Single-field analog: cut at the first hit matching
+        NONE of the required terms (optional/prefix matches only)."""
+        from .query import Term
+
+        if not pq.required and not pq.numbers:
+            return docs, scores
+        core = pq.required + pq.numbers
+        matched = np.zeros(docs.size, dtype=bool)
+        for t in core:
+            td, _ = self.engine.eval_term(Term(t))
+            if td.size:
+                idx = np.minimum(np.searchsorted(td, docs), td.size - 1)
+                matched |= td[idx] == docs
+        cut = int(np.argmin(matched)) if not matched.all() else docs.size
+        return docs[:cut], scores[:cut]
+
+    def project(self, docs: np.ndarray, scores: np.ndarray,
+                verbose: bool = False) -> list[dict]:
+        """Hit projection from the doc store (Q17: base + verbose field
+        sets, ``ESDefaultSearch.java:39-41,168-177``)."""
         r = self.reader
+        cols = ["repo", "path", "lang"]
+        if verbose:
+            cols += ["base_score", "sha256", "n_chars"]
         out = []
         for rank, (d, s) in enumerate(zip(docs.tolist(), scores.tolist()), 1):
             row = {"rank": rank, "doc_id": d, "score": s}
-            for col in ("repo", "path", "lang"):
+            for col in cols:
                 if col in r.columns:
                     row[col] = r.column_of(np.array([d]), col)[0]
+            if verbose:
+                row["dl"] = int(r.dl_of(np.array([d]))[0])
             out.append(row)
         return out
 
@@ -210,3 +268,85 @@ class QueryScorer:
                 "score": pa.array(out["score"], pa.float64()),
             }
         )
+
+
+class QueryService:
+    """Persistent query-serving actor pool (reference: the ``serve``
+    command's RestExpress + ES cluster, ``server/REServer.java:54-96``).
+
+    ``map_batches(QueryScorer, ...)`` is right for batch replay jobs but
+    re-creates its actor pool per execution; a serving workload keeps
+    warm actors. This is one of the few places the Dataset API genuinely
+    can't express the semantics, so the pool is raw Ray actors: each
+    holds a warm ``Searcher`` (index + caches) and answers query batches
+    round-robin.
+    """
+
+    def __init__(self, index_dir: str, pool_size: int = 4, use_prior: bool = False,
+                 num_cpus: float = 1.0):
+        import ray
+
+        @ray.remote(num_cpus=num_cpus)
+        class _Worker:
+            def __init__(self, index_dir: str, use_prior: bool):
+                self.searcher = Searcher(index_dir)
+                self.use_prior = use_prior
+
+            def warm(self, terms: list[str]) -> int:
+                from .query import Term
+
+                for t in terms:
+                    self.searcher.engine.eval_term(Term(t))
+                return len(terms)
+
+            def search_batch(self, rows: list[dict], summarize: bool = False) -> list[dict]:
+                out = []
+                for q in rows:
+                    hits = self.searcher.search(
+                        q["q"], k=int(q.get("k", 20)),
+                        prefix=bool(q.get("prefix", False)),
+                        filters=q.get("filters"),
+                        use_prior=self.use_prior,
+                    )
+                    if summarize:
+                        # serving benches must not funnel full hit
+                        # payloads through one driver process — a real
+                        # service streams hits to many clients
+                        out.append({
+                            "qid": q.get("qid"),
+                            "n_hits": len(hits),
+                            "top_doc": hits[0]["doc_id"] if hits else None,
+                        })
+                    else:
+                        out.append({"qid": q.get("qid"), "hits": hits})
+                return out
+
+        self._ray = ray
+        self.workers = [
+            _Worker.remote(index_dir, use_prior) for _ in range(pool_size)
+        ]
+        self.pool_size = pool_size
+        self._rr = 0
+
+    def warm(self, terms: list[str]) -> None:
+        self._ray.get([w.warm.remote(terms) for w in self.workers])
+
+    def submit(self, rows: list[dict], summarize: bool = False):
+        w = self.workers[self._rr % self.pool_size]
+        self._rr += 1
+        return w.search_batch.remote(rows, summarize)
+
+    def replay(self, queries: list[dict], batch_size: int = 64,
+               summarize: bool = False) -> list[dict]:
+        futs = [
+            self.submit(queries[i : i + batch_size], summarize)
+            for i in range(0, len(queries), batch_size)
+        ]
+        out: list[dict] = []
+        for f in self._ray.get(futs):
+            out.extend(f)
+        return out
+
+    def shutdown(self) -> None:
+        for w in self.workers:
+            self._ray.kill(w)

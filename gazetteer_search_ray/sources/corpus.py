@@ -142,14 +142,22 @@ def synthetic_corpus(n_docs: int = 200, seed: int = 42) -> pa.Table:
     snake = ["parse_addr_row", "read_file_sync", "max_retry_count"]
     unicodeish = ["straße", "naïveCafé", "Bebić"]
 
+    # one vectorized Zipf draw for the whole corpus (per-doc rng.choice
+    # with probabilities is ~100× slower at 10^5+ docs)
+    n_toks = rng.integers(30, 200, size=n_docs)
+    all_ids = rng.choice(len(vocab), size=int(n_toks.sum()), p=zipf_p)
+    vocab_arr = np.array(vocab, dtype=object)
+    all_toks = vocab_arr[all_ids]
+    tok_off = np.concatenate(([0], np.cumsum(n_toks)))
+    lang_ids = rng.choice(len(_LANGS), size=n_docs, p=_LANG_W)
+
     rows = {k: [] for k in ["repo", "path", "commit", "lang", "content"]}
     for i in range(n_docs):
         repo = f"org{i % 7}/repo{i % 23}"
-        lang = _LANGS[int(rng.choice(len(_LANGS), p=_LANG_W))]
+        lang = _LANGS[int(lang_ids[i])]
         path = f"src/m{i % 13}/sub{i % 5}/file_{i}.{_EXT[lang]}"
         commit = hashlib.sha1(f"{repo}/{path}".encode()).hexdigest()[:12]
-        n_tok = int(rng.integers(30, 200))
-        toks = list(rng.choice(vocab, size=n_tok, p=zipf_p))
+        toks = list(all_toks[tok_off[i] : tok_off[i + 1]])
         # sprinkle fixtures deterministically
         if i % 11 == 0:
             toks.append(camel[i % len(camel)])
@@ -190,3 +198,16 @@ def write_synthetic_corpus(
         pq.write_table(shard, f)
         files.append(f)
     return files
+
+
+def read_corpus_ndjson(paths):
+    """NDJSON(.gz) corpus reader — reference S1 parity adapter
+    (``imp/addr/AddressesImporter.java:220-228``: BufferedReader + gzip
+    sniff by extension + one JSON per line becomes
+    ``ray.data.read_json`` with arrow's gzip auto-detection).  Expects
+    objects with the corpus keys; assigns doc_ids like read_corpus.
+    """
+    import ray.data as rd
+
+    ds = rd.read_json(paths)
+    return ds.map_batches(_assign_doc_ids, batch_format="pyarrow")

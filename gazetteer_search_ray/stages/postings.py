@@ -128,6 +128,32 @@ class SortedBlockEncoder:
         return pa.concat_tables([first, last])
 
 
+def encode_partials_table(t: pa.Table, block_size: int = BLOCK_SIZE) -> pa.Table:
+    """Sort + merge + encode an (unsorted) partial-postings table in one
+    vectorized pass.  Used for the boundary stream when it is small
+    enough to merge on the driver — saves a whole all-to-all exchange
+    (the ``groupby`` path remains for large boundary sets)."""
+    if t.num_rows == 0:
+        return POSTINGS_SCHEMA.empty_table()
+    t = t.combine_chunks().take(
+        pc.sort_indices(t, sort_keys=[("skey", "ascending")])
+    )
+    codes = pc.dictionary_encode(t["skey"]).combine_chunks().indices.to_numpy()
+    heads = np.concatenate(([0], np.flatnonzero(np.diff(codes) != 0) + 1))
+    docs, row_lens = flat_from_binary_col(t["docs"], np.dtype("<i8"))
+    tfs, _ = flat_from_binary_col(t["tfs"], np.dtype("<i4"))
+    dls, _ = flat_from_binary_col(t["dls"], np.dtype("<i4"))
+    row_off = np.concatenate(([0], np.cumsum(row_lens)))
+    group_offsets = np.append(row_off[heads], row_off[-1])
+    enc = encode_posting_groups(
+        docs.astype(np.int64), tfs.astype(np.int64), dls.astype(np.int64),
+        group_offsets, block_size,
+    )
+    return _encoded_table(
+        t["term"].take(pa.array(heads)), t["shard"].take(pa.array(heads)), enc
+    )
+
+
 def make_postings_merger(block_size: int = BLOCK_SIZE):
     """``map_groups`` merge for one (term, shard) group of partials.
 

@@ -29,7 +29,23 @@ from ..functions.codec import decode_blocks
 from . import manifest as mf
 import os
 
-DOCMETA_EXTRA = ("lang", "repo", "path", "base_score", "sha256")
+DOCMETA_EXTRA = ("lang", "repo", "path", "base_score", "sha256", "n_chars")
+
+
+def _ed1(a: str, b: str) -> bool:
+    """True iff edit distance(a, b) ≤ 1 (substitution/insert/delete)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(1 for x, y in zip(a, b) if x != y) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # b is a with one insertion
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
 
 
 @dataclass
@@ -123,6 +139,41 @@ class IndexReader:
         """Sorted doc_ids whose docmeta column ∈ values (filter leaf)."""
         mask = np.isin(self.columns[col], list(values))
         return self.doc_ids[mask]
+
+    def docs_in_range(self, col: str, lo: float, hi: float) -> np.ndarray:
+        """Sorted doc_ids with lo ≤ column ≤ hi (numeric range leaf)."""
+        vals = self.dl if col == "dl" else self.columns[col].astype(np.float64)
+        mask = (vals >= lo) & (vals <= hi)
+        return self.doc_ids[mask]
+
+    def all_terms(self) -> list[str]:
+        """The full term dictionary (scanned once, cached)."""
+        if not hasattr(self, "_all_terms"):
+            terms: set[str] = set()
+            for pf in self._files:
+                t = pf.read(columns=["term"])
+                terms.update(t["term"].to_pylist())
+            self._all_terms = sorted(terms)
+        return self._all_terms
+
+    def fuzzy_terms(self, term: str, max_expansions: int = 50) -> list[str]:
+        """Dictionary terms within edit distance ≤ 1 of ``term``.
+
+        Candidates are pruned by length (|len diff| ≤ 1) before the
+        exact check over the cached dictionary (adequate below ~10^6
+        dictionary terms per segment group; a Levenshtein automaton over
+        the sorted dictionary is the scale path — SURVEY.md §7.4)."""
+        vocab = self.all_terms()
+        out = []
+        lt = len(term)
+        for cand in vocab:
+            if abs(len(cand) - lt) > 1:
+                continue
+            if _ed1(term, cand):
+                out.append(cand)
+                if len(out) >= max_expansions:
+                    break
+        return out
 
     # ---- postings ------------------------------------------------------
 
