@@ -42,15 +42,27 @@ def make_queries(n: int) -> list[dict]:
     return out
 
 
+# glibc by default munmaps big freed buffers, so every numpy allocation
+# re-faults fresh pages — on this VM first-touch faults run ~100× slower
+# than warm memory (hypervisor ballooning).  Keeping big allocations on
+# the heap and never trimming makes workers reuse faulted pages.
+MALLOC_ENV = {
+    "MALLOC_MMAP_THRESHOLD_": "1073741824",
+    "MALLOC_TRIM_THRESHOLD_": "1073741824",
+}
+
+
 def run_bench() -> dict:
     import ray
 
+    os.environ.update(MALLOC_ENV)
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        runtime_env={"env_vars": MALLOC_ENV},
     )
     from ray.data import DataContext
 

@@ -50,7 +50,7 @@ def _prior_from_n_chars(batch: pa.Table) -> np.ndarray:
 
 
 def index_dir_for(sf_dir: str) -> str:
-    key = hashlib.sha1(f"{sf_dir}|simple|v1".encode()).hexdigest()[:12]
+    key = hashlib.sha1(f"{sf_dir}|simple|v2".encode()).hexdigest()[:12]
     return os.path.join(CACHE_ROOT, key)
 
 
@@ -649,10 +649,89 @@ def all_queries() -> dict:
         "token_count_bpe": q_token_count_bpe,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "bm25_fuzzy": q_bm25_fuzzy,
+        "bm25_range": q_bm25_range,
+        "mass_eval": q_mass_eval,
     }
 
 
 def all_oracle_sql() -> dict:
     # dedup_minhash / dedup_simhash / dedup_ngram / ann_lsh / lang_id /
     # fingerprint are not SQL-expressible → rows-only driver check
-    return {**SEARCH_SQL, **EXTRA_SQL}
+    return {**SEARCH_SQL, **EXTRA_SQL, **FUZZY_RANGE_SQL}
+
+
+# ---------------------------------------------------------------------------
+# fuzzy / range / eval additions
+# ---------------------------------------------------------------------------
+
+FUZZY_Q = "scann"  # ED-1 from 'scan'; DuckDB levenshtein() is the oracle
+RANGE_LO, RANGE_HI = 100, 160  # n_chars window
+
+
+def q_bm25_fuzzy(sf_dir):
+    """Q2 fuzziness=1: union of postings of every dictionary term within
+    edit distance ≤ 1, each scored by its own BM25."""
+    from .pipelines.query import Fuzzy
+
+    s = get_searcher(sf_dir)
+    docs, scores = s.engine._topk(
+        *s.engine.evaluate(Fuzzy(FUZZY_Q, max_expansions=1000)), 20
+    )
+    return _topk_frame(docs, scores)
+
+
+def q_bm25_range(sf_dir):
+    """Q7 numeric-range branch analog: OR query filtered to docs whose
+    n_chars ∈ [RANGE_LO, RANGE_HI]."""
+    from .pipelines.query import RangeFilter
+
+    return _topk(
+        sf_dir,
+        Bool(
+            should=(Term("sort"), Term("merge")),
+            minimum_should_match=1,
+            filter=(RangeFilter("n_chars", RANGE_LO, RANGE_HI),),
+        ),
+    )
+
+
+def q_mass_eval(sf_dir):
+    """G5 mass-geocode evaluation (self-consistency run; rows-only)."""
+    import ray.data as rd
+
+    from .pipelines.geocode import mass_eval
+
+    s = get_searcher(sf_dir)
+    rows = []
+    for i, q in enumerate(["dup", "scan sort", "merge window query", "zzzznope"]):
+        hits = s.search(q, k=5, use_prior=False)
+        rows.append(
+            {"qid": i, "q": q,
+             "expected_doc_id": hits[0]["doc_id"] if hits else -1}
+        )
+    summary = mass_eval(rd.from_items(rows), index_dir_for(sf_dir), k=5)
+    return pd.DataFrame([summary])
+
+
+FUZZY_RANGE_SQL = {
+    "bm25_fuzzy": (
+        f"WITH {BM25_CTE}, "
+        f"df AS (SELECT term, count(*)::DOUBLE AS df FROM tf "
+        f"       WHERE levenshtein(term, '{FUZZY_Q}') <= 1 GROUP BY term), "
+        f"sc AS (SELECT tf.doc_id, "
+        f"  sum( ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5)) "
+        f"       * tf.tf * {K1 + 1.0} / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score "
+        f"  FROM tf JOIN df ON tf.term = df.term "
+        f"  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s GROUP BY tf.doc_id) "
+        f"SELECT doc_id, round(score, 6) AS score FROM sc "
+        f"ORDER BY sc.score DESC, doc_id LIMIT 20"
+    ),
+    "bm25_range": (
+        f"WITH {BM25_CTE}, {_bm25_score_sql(['sort', 'merge'])} "
+        f"SELECT sc.doc_id, round(sc.score, 6) AS score FROM sc "
+        f"JOIN documents d ON d.doc_id = sc.doc_id "
+        f"WHERE d.n_chars BETWEEN {RANGE_LO} AND {RANGE_HI} "
+        f"ORDER BY sc.score DESC, sc.doc_id LIMIT 20"
+    ),
+}

@@ -122,8 +122,11 @@ def build_index(ds, index_dir: str, opts: BuildOptions | None = None, overwrite:
     from ray.data import DataContext
 
     DataContext.get_current().use_polars_sort = True
+    # ~4 blocks per CPU: smaller blocks let each worker re-use its
+    # already-faulted heap pages across blocks (first-touch page faults
+    # are ~100× slower than warm memory on ballooned VMs)
     n_blocks = opts.sort_partitions or max(
-        8, min(256, int(ray.cluster_resources().get("CPU", 8)))
+        8, min(512, 4 * int(ray.cluster_resources().get("CPU", 8)))
     )
     sorted_partials = partials.repartition(n_blocks).sort("skey")
     boundary = sorted_partials.map_batches(
