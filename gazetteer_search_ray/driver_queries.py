@@ -652,13 +652,15 @@ def all_queries() -> dict:
         "bm25_fuzzy": q_bm25_fuzzy,
         "bm25_range": q_bm25_range,
         "mass_eval": q_mass_eval,
+        "events_window": q_events_window,
+        "events_sessions": q_events_sessions,
     }
 
 
 def all_oracle_sql() -> dict:
     # dedup_minhash / dedup_simhash / dedup_ngram / ann_lsh / lang_id /
     # fingerprint are not SQL-expressible → rows-only driver check
-    return {**SEARCH_SQL, **EXTRA_SQL, **FUZZY_RANGE_SQL}
+    return {**SEARCH_SQL, **EXTRA_SQL, **FUZZY_RANGE_SQL, **WINDOW_SQL}
 
 
 # ---------------------------------------------------------------------------
@@ -733,5 +735,68 @@ FUZZY_RANGE_SQL = {
         f"JOIN documents d ON d.doc_id = sc.doc_id "
         f"WHERE d.n_chars BETWEEN {RANGE_LO} AND {RANGE_HI} "
         f"ORDER BY sc.score DESC, sc.doc_id LIMIT 20"
+    ),
+}
+
+
+# ---------------------------------------------------------------------------
+# windowed aggregates over the events log
+# ---------------------------------------------------------------------------
+
+WINDOW_SEC = 3600
+SESSION_GAP = 1800
+
+
+def q_events_window(sf_dir):
+    """Tumbling-window aggregate (partial-agg combiner + small groupby)."""
+    import ray.data as rd
+
+    from .pipelines.windows import tumbling_window_agg
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type", "value"],
+    )
+    out = tumbling_window_agg(ds, WINDOW_SEC).to_pandas()
+    out["n_events"] = out["n_events"].astype(np.int64)
+    for c in ("sum_value", "min_value", "max_value"):
+        out[c] = np.round(out[c].astype(np.float64), 6)
+    out["window_start"] = out["window_start"].astype(np.int64)
+    return out[["event_type", "window_start", "n_events", "sum_value",
+                "min_value", "max_value"]]
+
+
+def q_events_sessions(sf_dir):
+    """Session windows per user (gap > SESSION_GAP starts a session)."""
+    import ray.data as rd
+
+    from .pipelines.windows import session_windows
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"]
+    )
+    out = session_windows(ds, SESSION_GAP).to_pandas()
+    for c in ("user_id", "session_start", "session_end", "n_events"):
+        out[c] = out[c].astype(np.int64)
+    return out[["user_id", "session_start", "session_end", "n_events"]]
+
+
+WINDOW_SQL = {
+    "events_window": (
+        f"SELECT event_type, "
+        f"(CAST(floor(epoch(ts) / {WINDOW_SEC}) AS BIGINT) * {WINDOW_SEC}) AS window_start, "
+        f"count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value, "
+        f"round(min(value), 6) AS min_value, round(max(value), 6) AS max_value "
+        f"FROM events GROUP BY event_type, window_start"
+    ),
+    "events_sessions": (
+        f"WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tss FROM events), "
+        f"l AS (SELECT user_id, tss, CASE WHEN lag(tss) OVER w IS NULL "
+        f"      OR tss - lag(tss) OVER w > {SESSION_GAP} THEN 1 ELSE 0 END AS is_new "
+        f"      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tss)), "
+        f"s AS (SELECT user_id, tss, sum(is_new) OVER "
+        f"      (PARTITION BY user_id ORDER BY tss ROWS UNBOUNDED PRECEDING) AS sid FROM l) "
+        f"SELECT user_id, min(tss) AS session_start, max(tss) AS session_end, "
+        f"count(*)::BIGINT AS n_events FROM s GROUP BY user_id, sid"
     ),
 }
