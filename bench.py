@@ -82,7 +82,9 @@ def run_bench() -> dict:
     timings: dict[str, float] = {}
 
     # -- corpus (cached, deterministic; generation untimed) --------------
-    if not os.path.exists(os.path.join(CORPUS_DIR, "corpus-0000.parquet")):
+    # presence of the LAST shard = complete generation (a killed run
+    # leaves a prefix of shards)
+    if not os.path.exists(os.path.join(CORPUS_DIR, "corpus-0063.parquet")):
         write_synthetic_corpus(CORPUS_DIR, n_docs=BENCH_DOCS, n_files=64)
     # warm the page cache so we measure compute + shuffle, not cold disk
     read_corpus(CORPUS_DIR).count()
@@ -178,14 +180,25 @@ def run_bench() -> dict:
 def run_scaling():
     import subprocess
 
+    # scaling uses a larger corpus than the plain bench: the fixed
+    # serial floor (~5s of sort barriers + execution spin-up) must be
+    # small relative to parallel work for the efficiency number to
+    # reflect capacity, not overhead
+    scaling_docs = int(os.environ.get("GSR_SCALING_DOCS", "320000"))
+    corpus_dir = f"{SCRATCH}/gsr_bench_corpus_{scaling_docs}"
     # pre-generate the corpus once so subprocesses measure build, not gen
-    if not os.path.exists(os.path.join(CORPUS_DIR, "corpus-0000.parquet")):
+    if not os.path.exists(os.path.join(corpus_dir, "corpus-0063.parquet")):
         from gazetteer_search_ray.sources.corpus import write_synthetic_corpus
 
-        write_synthetic_corpus(CORPUS_DIR, n_docs=BENCH_DOCS, n_files=64)
+        write_synthetic_corpus(corpus_dir, n_docs=scaling_docs, n_files=64)
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GSR_SKIP_SF="1")
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GSR_SKIP_SF="1",
+            GSR_BENCH_DOCS=str(scaling_docs),
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

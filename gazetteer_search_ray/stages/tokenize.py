@@ -347,3 +347,35 @@ class TokenizeStage:
         # same file with identical bytes (idempotent side-write)
         digest = hashlib.blake2b(doc_ids.tobytes(), digest_size=8).hexdigest()
         atomic_write_table(t, os.path.join(self.docmeta_dir, f"docmeta-{digest}.parquet"))
+
+
+def make_keep_policy(
+    allow_langs: tuple[str, ...] | None = None,
+    deny_path_pattern: str | None = None,
+    prior: float = 1.0,
+):
+    """Config-driven keep/drop policy as a ScoreBuilder (reference M13,
+    ``imp/POIIgnore.java:29-137`` + M12's score==0 ⇒ drop-row rule,
+    ``ImportObjectParser.java:182-187``): rows failing the policy get
+    prior 0 and are dropped by the tokenize stage; the rest get
+    ``prior``.  For a code corpus: language allowlist + vendored-path
+    deny regex."""
+    import re
+
+    deny_re = re.compile(deny_path_pattern) if deny_path_pattern else None
+
+    def score(batch: pa.Table) -> np.ndarray:
+        n = batch.num_rows
+        keep = np.full(n, True)
+        if allow_langs is not None and "lang" in batch.column_names:
+            keep &= np.isin(
+                np.asarray(batch["lang"].to_pylist(), dtype=object),
+                list(allow_langs),
+            )
+        if deny_re is not None and "path" in batch.column_names:
+            keep &= np.array(
+                [not deny_re.search(p or "") for p in batch["path"].to_pylist()]
+            )
+        return np.where(keep, prior, 0.0)
+
+    return score
