@@ -59,8 +59,11 @@ class BuildOptions:
     # reduce partitions for the merge sort; None → ~1 per cluster CPU
     sort_partitions: int | None = None
     # boundary sets up to this many rows merge on the driver (one
-    # vectorized pass) instead of a second all-to-all groupby
-    boundary_driver_limit: int = 500_000
+    # vectorized pass — saves an execution for small test builds);
+    # above it, the distributed groupby merges: boundary DISTINCT keys
+    # are only ~2 per sorted block, but their rows are the HOT terms,
+    # whose encode must not serialize on the driver
+    boundary_driver_limit: int = 20_000
 
 
 def _analyzer_dict(c: AnalyzerConfig) -> dict:
@@ -137,7 +140,11 @@ def build_index(ds, index_dir: str, opts: BuildOptions | None = None, overwrite:
     # Boundary runs are O(2 × sort blocks) keys — merge them on the
     # driver in one vectorized pass when small (saves an all-to-all);
     # fall back to the distributed groupby for pathological sizes.
+    phase = {}
+    t_p = time.monotonic()
     bmat = boundary.materialize()
+    phase["pipeline_sec"] = round(time.monotonic() - t_p, 2)
+    t_p = time.monotonic()
     if bmat.count() <= opts.boundary_driver_limit:
         import pyarrow as pa
 
@@ -157,6 +164,9 @@ def build_index(ds, index_dir: str, opts: BuildOptions | None = None, overwrite:
             make_postings_merger(opts.block_size), batch_format="pyarrow"
         )
         rest.write_parquet(postings_dir, row_group_size=opts.row_group_size)
+    phase["boundary_rows"] = bmat.count()
+    phase["boundary_merge_sec"] = round(time.monotonic() - t_p, 2)
+    t_p = time.monotonic()
 
     # global stats from the (tiny, one-row-per-doc) doc store
     meta = pads.dataset(docmeta_dir, format="parquet")
@@ -182,6 +192,8 @@ def build_index(ds, index_dir: str, opts: BuildOptions | None = None, overwrite:
         "postings_files": sorted(os.listdir(postings_dir)),
         "docmeta_files": sorted(os.listdir(docmeta_dir)),
         "metrics": {
+            **phase,
+            "stats_sec": round(time.monotonic() - t_p, 2),
             "elapsed_sec": elapsed,
             "docs_per_sec": (n_docs / elapsed) if elapsed > 0 else None,
             "tokens_per_sec": (total_tokens / elapsed) if elapsed > 0 else None,

@@ -53,8 +53,8 @@ def test_ed1_helper():
     assert _ed1("abc", "abc")
     assert _ed1("abc", "abd")
     assert _ed1("abc", "abcd")
-    assert _ed1("abcd", "abd") is False or True  # deletion of c: abd? a-b-d vs a-b-c-d → delete 'c' → abd: True
-    assert _ed1("abc", "xbcd") is False
+    assert _ed1("abcd", "abd")  # one deletion
+    assert not _ed1("abc", "xbcd")
     assert not _ed1("abc", "abcde")
 
 
@@ -185,3 +185,26 @@ def test_ndjson_reader(ray_session, tmp_path):
 
     exp = _assign_doc_ids(t)["doc_id"].to_pylist()
     assert sorted(out["doc_id"]) == sorted(exp)
+
+
+def test_query_service_pool(idx):
+    """Persistent serving pool answers identically to a local Searcher."""
+    from gazetteer_search_ray.pipelines.search import QueryService, Searcher
+
+    svc = QueryService(idx, pool_size=2)
+    svc.warm(["def", "return"])
+    local = Searcher(idx)
+    queries = [
+        {"qid": 0, "q": "qwyzzle"},
+        {"qid": 1, "q": "def return"},
+        {"qid": 2, "q": "zzz_nothing"},
+    ]
+    out = svc.replay(queries, batch_size=2)
+    assert [o["qid"] for o in out] == [0, 1, 2]
+    for o, q in zip(out, queries):
+        exp = local.search(q["q"], k=20, use_prior=False)
+        got = o["hits"]
+        assert [h["doc_id"] for h in got] == [h["doc_id"] for h in exp]
+    summ = svc.replay(queries, batch_size=2, summarize=True)
+    assert summ[1]["n_hits"] == len(local.search("def return", k=20, use_prior=False))
+    svc.shutdown()
