@@ -60,11 +60,25 @@ def join_aggregate_counts(
     dim_key: str,
     out_col: str = "ref_count",
 ):
-    """dim ⟕ (fact groupby key → count): broadcast the small aggregate."""
-    import ray
-    from ray.data.aggregate import Count
+    """dim ⟕ (fact groupby key → count): broadcast the small aggregate.
 
-    counts = fact_ds.groupby(fact_key).aggregate(Count(alias_name=out_col))
+    The fact side pre-aggregates per batch (combiner) so the groupby
+    shuffles one row per key per batch instead of every fact row.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by([fact_key], use_threads=False).aggregate(
+            [(fact_key, "count")]
+        )
+        return g.rename_columns([fact_key, "p_cnt"])
+
+    counts = (
+        fact_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(fact_key)
+        .aggregate(Sum("p_cnt", alias_name=out_col))
+    )
     cdf = counts.to_pandas()  # one row per key — small by construction
     lookup_ref = ray.put(dict(zip(cdf[fact_key], cdf[out_col].astype(np.int64))))
 
