@@ -497,6 +497,23 @@ def q_ann_lsh(sf_dir):
     return out
 
 
+def q_ann_ivf(sf_dir):
+    """IVF-clustered ANN (approximate — rows-only oracle)."""
+    import pyarrow.parquet as pq
+
+    from .pipelines.similarity import ann_topk_ivf
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    mask = np.isin(t["vec_id"].to_numpy(), [0, 1, 2])
+    qt = t.filter(pa.array(mask)).sort_by("vec_id")
+    qv = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
+    out = ann_topk_ivf(_emb(sf_dir), qv, k=10, n_clusters=8, nprobe=3)
+    out["cosine"] = np.round(out["cosine"].astype(np.float64), 4)
+    return out
+
+
 def q_emb_neardup(sf_dir):
     """All pairs with cosine ≥ 0.4 (threshold chosen inside a value gap
     ≫ duckdb's float32 error; cosine rounded to 4)."""
@@ -643,6 +660,7 @@ def all_queries() -> dict:
         "dedup_ngram": q_dedup_ngram,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "emb_neardup": q_emb_neardup,
         "token_stats": q_token_stats,
         "quality": q_quality,

@@ -175,3 +175,95 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95,
 
     res = ds.map_batches(Pairs, batch_format="pyarrow", concurrency=2).to_pandas()
     return res.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def ivf_train(ds, n_clusters: int = 16, iters: int = 5,
+              vec_col: str = "embedding", seed: int = 13) -> np.ndarray:
+    """Deterministic mini k-means for IVF: Lloyd iterations where each
+    batch emits partial (sum, count) per cluster against broadcast
+    centroids — one pass over the data per iteration, no shuffle of
+    vectors (the partials are n_clusters × dim floats per batch)."""
+    import ray
+
+    first = ds.limit(n_clusters).to_pandas()
+    cent = _normalize(np.array(first[vec_col].tolist(), dtype=np.float64))
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            m = _normalize(_emb_matrix(batch, vec_col))
+            assign = np.argmax(m @ c.T, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=c.shape[0])
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(c.shape[0]), pa.int32()),
+                    "sum": pa.array(sums.tolist(), pa.list_(pa.float64())),
+                    "count": pa.array(counts.astype(np.int64)),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        sums = np.zeros_like(cent)
+        counts = np.zeros(cent.shape[0])
+        for _, row in parts.iterrows():
+            sums[row["cluster"]] += np.asarray(row["sum"])
+            counts[row["cluster"]] += row["count"]
+        nonzero = counts > 0
+        cent[nonzero] = _normalize(sums[nonzero] / counts[nonzero, None])
+    return cent
+
+
+def ann_topk_ivf(ds, query_vecs: np.ndarray, k: int = 10, n_clusters: int = 16,
+                 nprobe: int = 4, vec_col: str = "embedding",
+                 id_col: str = "vec_id", seed: int = 13):
+    """IVF ANN: cluster the corpus (k-means), probe the ``nprobe``
+    nearest centroids per query, score candidates exactly.  The scale
+    path: each query touches ~nprobe/n_clusters of the corpus."""
+    import pyarrow.compute as pc
+    import ray
+
+    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    cent = ivf_train(ds, n_clusters=n_clusters, seed=seed, vec_col=vec_col)
+    cent_ref = ray.put(cent)
+    probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]
+    wanted = np.unique(probe)
+
+    def assign_and_filter(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _normalize(_emb_matrix(batch, vec_col))
+        a = np.argmax(m @ c.T, axis=1)
+        keep = np.isin(a, wanted)
+        return pa.table(
+            {
+                id_col: batch[id_col].filter(pa.array(keep)),
+                vec_col: batch[vec_col].filter(pa.array(keep)),
+                "cluster": pa.array(a[keep].astype(np.int32)),
+            }
+        )
+
+    cand = ds.map_batches(assign_and_filter, batch_format="pyarrow").to_pandas()
+    if cand.empty:
+        return pd.DataFrame({"qid": [], "rank": [], "vec_id": [], "cosine": []})
+    m = _normalize(np.array(cand[vec_col].tolist(), dtype=np.float64))
+    ids = cand[id_col].to_numpy()
+    clusters = cand["cluster"].to_numpy()
+    out = []
+    for qi in range(q.shape[0]):
+        mask = np.isin(clusters, probe[qi])
+        s = m[mask] @ q[qi]
+        cids = ids[mask]
+        order = np.lexsort((cids, -s))[:k]
+        out.append(
+            pd.DataFrame(
+                {
+                    "qid": qi,
+                    "rank": np.arange(1, order.size + 1),
+                    "vec_id": cids[order],
+                    "cosine": s[order],
+                }
+            )
+        )
+    return pd.concat(out, ignore_index=True)

@@ -233,3 +233,30 @@ def test_multimodal_plumbing(ray_session):
     frames = sample_frames(ds).to_pandas()
     assert len(frames) > 12
     assert set(frames.columns) == {"item_id", "frame_idx", "frame"}
+
+
+def test_ann_ivf_recall(ray_session):
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_ivf,
+    )
+
+    rng = np.random.default_rng(9)
+    # clustered data so IVF has structure to find
+    centers = rng.standard_normal((6, 16)) * 3
+    m = np.concatenate([c + rng.standard_normal((60, 16)) * 0.4 for c in centers])
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": m[i].tolist()} for i in range(len(m))]
+    )
+    q = m[:3]
+    exact = ann_topk_bruteforce(ds, q, k=5)
+    approx = ann_topk_ivf(ds, q, k=5, n_clusters=6, nprobe=2)
+    hits = 0
+    for qi in range(3):
+        e = set(exact[exact["qid"] == qi]["vec_id"])
+        a = set(approx[approx["qid"] == qi]["vec_id"])
+        assert qi in a  # self found
+        hits += len(e & a)
+    assert hits >= 12  # ≥80% recall on clustered data
