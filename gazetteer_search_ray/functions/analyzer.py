@@ -252,3 +252,25 @@ class Analyzer:
         for tok, _ in a.tokens(text):
             freqs[tok] = freqs.get(tok, 0) + 1
         return freqs
+
+
+def load_analyzer_config(path_or_name: str) -> AnalyzerConfig:
+    """Load an AnalyzerConfig from a JSON rule file.
+
+    Mirrors the reference's config-as-data extensibility
+    (``config/QueryAnalizer.json`` + synonym/optional/stop term files +
+    replacer rule tree, SURVEY.md §2.6): rules ship as data, the engine
+    compiles them once per worker.  ``path_or_name`` is a file path or
+    one of the stock names under ``gazetteer_search_ray/config/``
+    ("code", "simple").
+    """
+    import json
+    import os
+
+    if not os.path.exists(path_or_name):
+        here = os.path.join(os.path.dirname(os.path.dirname(__file__)), "config")
+        cand = os.path.join(here, f"analyzer_{path_or_name}.json")
+        if os.path.exists(cand):
+            path_or_name = cand
+    with open(path_or_name) as f:
+        return AnalyzerConfig.from_dict(json.load(f))

@@ -123,3 +123,21 @@ def test_vectorized_tokenizer_matches_analyzer():
     for i, text in enumerate(t["content"].to_pylist()):
         exp = [tok for tok, _ in an.tokens(text)]
         assert got.get(i, []) == exp, f"row {i}"
+
+
+def test_load_analyzer_config_from_data_files():
+    from gazetteer_search_ray.functions.analyzer import load_analyzer_config
+
+    cfg = load_analyzer_config("code")
+    assert cfg == AnalyzerConfig.code()
+    assert load_analyzer_config("simple") == AnalyzerConfig.simple()
+    # round trip through an explicit file path
+    import json as _json
+    import tempfile
+
+    from gazetteer_search_ray.pipelines.build_index import _analyzer_dict
+
+    custom = AnalyzerConfig(synonyms=(("a", "b"),), stop_terms=frozenset({"x"}))
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
+        _json.dump(_analyzer_dict(custom), f)
+    assert load_analyzer_config(f.name) == custom
