@@ -1,17 +1,23 @@
 """Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
 
 The reference's only dedup is first-wins distinct-by-name (M15/Q11);
-training-data pipelines at 100 TB need the full family.  Design rules:
+training-data pipelines at 100 TB need the full family.  Design rules
+(all candidate generation is DISTRIBUTED — nothing O(corpus) ever lands
+on the driver):
 
 * signatures are computed per batch, fully vectorized (one blake2b per
   token via a cached vocabulary dict, then numpy for the permutations);
-* candidate generation is a ``groupby(band_id, band_hash)`` shuffle of
-  SMALL signature rows — document text never travels through the
-  shuffle;
-* candidate pairs are verified from the signatures (estimate) or, for
-  :func:`ngram_jaccard_pairs`, exactly from broadcast shingle sets
-  (``ray.put`` once — valid while the shingle table fits the object
-  store; at larger scale verification becomes a doc_id-bucketed join).
+* banding is a ``sort(band_key)`` range exchange of SMALL
+  ``(band_key, doc_id)`` rows (16 B each — document text and the full
+  signatures never travel through the shuffle); within-bucket pairs are
+  expanded vectorized per sorted block, with only the runs that straddle
+  block boundaries passing through to a tiny driver-side merge — the
+  exact pattern the postings merge uses (``stages/postings.py:78-128``);
+* verification gathers signatures / shingle sets ONLY for docs that
+  appear in a candidate pair: the candidate id set is broadcast with
+  ``ray.put`` and each signature batch filters itself down before
+  anything is collected.  Driver memory is O(candidate pairs) — the
+  operator's own output size — never O(corpus).
 """
 
 from __future__ import annotations
@@ -23,6 +29,7 @@ import pandas as pd
 import pyarrow as pa
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+_FNV = np.uint64(1099511628211)
 
 
 def _stable_hash64(tokens: list[str]) -> np.ndarray:
@@ -145,6 +152,136 @@ def _pairs_from_buckets(keys: np.ndarray, ids: np.ndarray,
     return np.unique(np.stack([lo, hi], axis=1), axis=0)
 
 
+# ---------------------------------------------------------------------------
+# distributed band-bucket pair generation (the LSH shuffle)
+# ---------------------------------------------------------------------------
+
+_PAIR, _BOUNDARY = 0, 1
+_MIXED_SCHEMA = pa.schema(
+    [("kind", pa.int8()), ("a", pa.int64()), ("b", pa.int64())]
+)
+
+
+class _RunPairEmitter:
+    """``map_batches`` stage over (band_key)-sorted rows: expands every
+    COMPLETE key-run into its within-bucket pairs in one numpy pass and
+    passes the first/last runs — the only ones that may straddle sorted
+    block boundaries — through as boundary rows (postings-merge pattern,
+    ``stages/postings.py:78-128``)."""
+
+    def __init__(self, max_bucket: int = 1000):
+        self.max_bucket = max_bucket
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _MIXED_SCHEMA.empty_table()
+        keys = t["bkey"].to_numpy()
+        ids = t["doc_id"].to_numpy()
+        heads = np.concatenate(([0], np.flatnonzero(np.diff(keys) != 0) + 1,
+                                [keys.size]))
+        if heads.size <= 3:  # ≤2 runs: everything may straddle a boundary
+            return pa.table(
+                {
+                    "kind": pa.array(np.full(keys.size, _BOUNDARY, np.int8)),
+                    "a": pa.array(keys.astype(np.int64)),
+                    "b": pa.array(ids.astype(np.int64)),
+                },
+                schema=_MIXED_SCHEMA,
+            )
+        lo, hi = int(heads[1]), int(heads[-2])
+        pairs = _pairs_from_buckets(keys[lo:hi], ids[lo:hi], self.max_bucket)
+        bmask = np.ones(keys.size, dtype=bool)
+        bmask[lo:hi] = False
+        bidx = np.flatnonzero(bmask)
+        kind = np.concatenate(
+            [
+                np.full(pairs.shape[0], _PAIR, np.int8),
+                np.full(bidx.size, _BOUNDARY, np.int8),
+            ]
+        )
+        a = np.concatenate([pairs[:, 0], keys[bidx].astype(np.int64)])
+        b = np.concatenate([pairs[:, 1], ids[bidx].astype(np.int64)])
+        return pa.table(
+            {"kind": pa.array(kind), "a": pa.array(a), "b": pa.array(b)},
+            schema=_MIXED_SCHEMA,
+        )
+
+
+def _pairs_from_band_rows(band_ds, max_bucket: int = 1000) -> np.ndarray:
+    """(band_key, doc_id) Dataset → unique candidate (a<b) pair array.
+
+    Distributed: ``sort(bkey)`` range exchange, vectorized run expansion
+    per sorted block; only boundary runs (O(#blocks) rows) reach the
+    driver.  The collected pair set is the operator's own output —
+    bounded by the number of near-duplicates, not the corpus."""
+    mixed = (
+        band_ds.sort("bkey")
+        .map_batches(_RunPairEmitter,
+                     fn_constructor_kwargs=dict(max_bucket=max_bucket),
+                     batch_format="pyarrow", concurrency=2)
+        .to_pandas()
+    )
+    if mixed.empty:
+        return np.empty((0, 2), dtype=np.int64)
+    is_pair = mixed["kind"].to_numpy() == _PAIR
+    pair_part = mixed.loc[is_pair, ["a", "b"]].to_numpy(dtype=np.int64)
+    bnd = mixed.loc[~is_pair]
+    parts = [pair_part] if pair_part.size else []
+    if len(bnd):
+        bp = _pairs_from_buckets(
+            bnd["a"].to_numpy(np.int64), bnd["b"].to_numpy(np.int64), max_bucket
+        )
+        if bp.size:
+            parts.append(bp)
+    if not parts:
+        return np.empty((0, 2), dtype=np.int64)
+    return np.unique(np.concatenate(parts), axis=0)
+
+
+def _gather_rows(ds, id_col: str, ids: np.ndarray, cols: list[str]) -> pd.DataFrame:
+    """Collect ``cols`` for the rows whose id ∈ ``ids`` (broadcast id
+    set, distributed filter, candidate-bounded collect)."""
+    import ray
+
+    ids = np.unique(ids).astype(np.int64)
+    ref = ray.put(ids)
+
+    class Filter:
+        def __init__(self):
+            self.wanted = ray.get(ref)  # broadcast once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            dv = t[id_col].to_numpy()
+            if self.wanted.size == 0:
+                mask = np.zeros(dv.size, dtype=bool)
+            else:
+                idx = np.minimum(np.searchsorted(self.wanted, dv),
+                                 self.wanted.size - 1)
+                mask = self.wanted[idx] == dv
+            return t.select(cols).filter(pa.array(mask))
+
+    return ds.map_batches(Filter, batch_format="pyarrow", concurrency=2).to_pandas()
+
+
+def _band_keys(sig_mat: np.ndarray, bands: int) -> np.ndarray:
+    """(n, num_perm) signatures → (n, bands) int64 band-bucket keys.
+    FNV fold of each band slice, salted by band index (a collision
+    across bands or across different band values needs a 63-bit hash
+    collision — negligible, and any false candidate it created would
+    still face signature verification)."""
+    n, num_perm = sig_mat.shape
+    rows_per = num_perm // bands
+    keys = np.empty((n, bands), dtype=np.int64)
+    u = sig_mat.astype(np.uint64)
+    for b in range(bands):
+        acc = np.full(n, np.uint64(14695981039346656037), dtype=np.uint64)
+        acc = (acc * _FNV) + np.uint64(b + 1)
+        for c in range(b * rows_per, (b + 1) * rows_per):
+            acc = acc * _FNV + u[:, c]
+        keys[:, b] = (acc >> np.uint64(1)).astype(np.int64)  # keep positive
+    return keys
+
+
 def minhash_lsh_pairs(
     ds,
     num_perm: int = 64,
@@ -157,36 +294,50 @@ def minhash_lsh_pairs(
     """Near-duplicate candidate pairs with estimated Jaccard ≥ threshold.
 
     shingle → minhash (distributed ``map_batches`` actor pool, the heavy
-    stage) → banding + bucket-pair generation + signature verification
-    on the collected signature table (num_perm×8B per doc — small by
-    construction; at larger N the banding becomes a sorted-run pass like
-    the postings merge, with the same vectorized run expansion).
-    Returns columns (doc_a, doc_b, est_jaccard), doc_a < doc_b.
+    stage) → band rows ``(band_key, doc_id)`` → ``sort(band_key)``
+    shuffle → vectorized within-bucket pair expansion per sorted block →
+    signature verification over ONLY the docs that appear in a candidate
+    pair (broadcast id set + distributed filter).  Driver memory is
+    O(candidate pairs); the full signature table never leaves the
+    cluster.  Returns columns (doc_a, doc_b, est_jaccard), doc_a < doc_b.
     """
     sigs = minhash_signatures(ds, num_perm, shingle_n, text_col, id_col)
-    sig_tbl = sigs.to_pandas()
-    ids = sig_tbl[id_col].to_numpy().astype(np.int64)
-    sig_mat = np.array(sig_tbl["sig"].tolist(), dtype=np.int64)
-    if ids.size == 0:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64"),
-                             "est_jaccard": pd.Series([], dtype="float64")})
-    rows_per = num_perm // bands
-    pair_set = []
-    for b in range(bands):
-        chunk = sig_mat[:, b * rows_per : (b + 1) * rows_per].astype(np.uint64)
-        acc = np.zeros(ids.size, dtype=np.uint64)
-        for c in range(rows_per):
-            acc = acc * np.uint64(1099511628211) + chunk[:, c]
-        pair_set.append(_pairs_from_buckets(acc.astype(np.int64), ids))
-    pairs = np.unique(np.concatenate(pair_set), axis=0)
+
+    def emit_bands(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"bkey": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        ids = t[id_col].to_numpy()
+        sig_mat = np.asarray(t["sig"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False)).reshape(n, num_perm)
+        keys = _band_keys(sig_mat, bands)
+        return pa.table(
+            {
+                "bkey": pa.array(keys.ravel()),
+                "doc_id": pa.array(np.repeat(ids, bands)),
+            }
+        )
+
+    # signatures are consumed twice (banding + verification); keep the
+    # computed table instead of re-hashing the corpus
+    sigs = sigs.materialize()
+    band_ds = sigs.map_batches(emit_bands, batch_format="pyarrow")
+    pairs = _pairs_from_band_rows(band_ds)
+
+    empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                          "doc_b": pd.Series([], dtype="int64"),
+                          "est_jaccard": pd.Series([], dtype="float64")})
     if pairs.size == 0:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64"),
-                             "est_jaccard": pd.Series([], dtype="float64")})
-    pos = {int(d): j for j, d in enumerate(ids)}
-    ia = np.array([pos[int(d)] for d in pairs[:, 0]])
-    ib = np.array([pos[int(d)] for d in pairs[:, 1]])
+        return empty
+
+    cand = _gather_rows(sigs, id_col, pairs.ravel(), [id_col, "sig"])
+    cand_ids = cand[id_col].to_numpy(np.int64)
+    order = np.argsort(cand_ids)
+    cand_ids = cand_ids[order]
+    sig_mat = np.array(cand["sig"].tolist(), dtype=np.int64)[order]
+    ia = np.searchsorted(cand_ids, pairs[:, 0])
+    ib = np.searchsorted(cand_ids, pairs[:, 1])
     est = (sig_mat[ia] == sig_mat[ib]).mean(axis=1)
     keep = est >= threshold
     return (
@@ -236,33 +387,51 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text",
                   id_col: str = "doc_id", concurrency: int = 2):
     """Near-dup pairs by SimHash: 4×16-bit band grouping guarantees any
     pair with hamming ≤ 3 shares at least one exact band (pigeonhole);
-    verify hamming within buckets.  Columns (doc_a, doc_b, hamming)."""
+    band rows shuffle through ``sort(band_key)`` and hamming is verified
+    over only the docs appearing in a candidate pair — same distributed
+    shape as :func:`minhash_lsh_pairs`.  Columns (doc_a, doc_b, hamming).
+    """
     sigs = ds.map_batches(
         SimHasher,
         fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
         batch_format="pyarrow",
         concurrency=concurrency,
-    )
+    ).materialize()
 
-    sig_tbl = sigs.to_pandas()
-    ids = sig_tbl[id_col].to_numpy().astype(np.int64)
-    hs = sig_tbl["simhash"].to_numpy().astype(np.uint64)
-    if ids.size == 0:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64"),
-                             "hamming": pd.Series([], dtype="int64")})
-    pair_set = []
-    for b in range(4):
-        key = ((hs >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
-        pair_set.append(_pairs_from_buckets(key, ids, max_bucket=2000))
-    pairs = np.unique(np.concatenate(pair_set), axis=0)
+    def emit_bands(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"bkey": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        ids = t[id_col].to_numpy()
+        hs = t["simhash"].to_numpy().astype(np.uint64)
+        keys = np.empty((n, 4), dtype=np.int64)
+        for b in range(4):
+            band = ((hs >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            keys[:, b] = (np.int64(b) << np.int64(17)) | band  # exact, disjoint
+        return pa.table(
+            {
+                "bkey": pa.array(keys.ravel()),
+                "doc_id": pa.array(np.repeat(ids, 4)),
+            }
+        )
+
+    band_ds = sigs.map_batches(emit_bands, batch_format="pyarrow")
+    pairs = _pairs_from_band_rows(band_ds, max_bucket=2000)
+
+    empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                          "doc_b": pd.Series([], dtype="int64"),
+                          "hamming": pd.Series([], dtype="int64")})
     if pairs.size == 0:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64"),
-                             "hamming": pd.Series([], dtype="int64")})
-    pos = {int(d): j for j, d in enumerate(ids)}
-    ia = np.array([pos[int(d)] for d in pairs[:, 0]])
-    ib = np.array([pos[int(d)] for d in pairs[:, 1]])
+        return empty
+
+    cand = _gather_rows(sigs, id_col, pairs.ravel(), [id_col, "simhash"])
+    cand_ids = cand[id_col].to_numpy(np.int64)
+    order = np.argsort(cand_ids)
+    cand_ids = cand_ids[order]
+    hs = cand["simhash"].to_numpy(np.int64)[order].astype(np.uint64)
+    ia = np.searchsorted(cand_ids, pairs[:, 0])
+    ib = np.searchsorted(cand_ids, pairs[:, 1])
     x = hs[ia] ^ hs[ib]
     # vectorized popcount via byte-view + bit-count table
     ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1).astype(np.int64)
@@ -288,27 +457,68 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard over MinHash-LSH candidates.
 
     Candidates from :func:`minhash_lsh_pairs` (low threshold), verified
-    exactly against broadcast shingle sets.  Columns
+    EXACTLY by re-shingling only the candidate docs inside a distributed
+    ``map_batches`` over the corpus (broadcast candidate id set); each
+    candidate doc's shingle set travels as sorted unique 64-bit hashes.
+    The full text never reaches the driver — driver memory is bounded by
+    the candidate docs' shingle-hash sets (a blake2b-64 collision would
+    be needed to perturb a Jaccard value).  Columns
     (doc_a, doc_b, jaccard ≥ threshold)."""
-    import ray
-
     cands = minhash_lsh_pairs(
         ds, num_perm=num_perm, bands=bands, shingle_n=n,
         threshold=min(0.3, threshold), text_col=text_col, id_col=id_col,
     )
-    sh_tbl = ds.select_columns([id_col, text_col]).to_pandas()
-    shingle_map = {
-        int(d): set(_shingles(t, n))
-        for d, t in zip(sh_tbl[id_col], sh_tbl[text_col])
+    empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                          "doc_b": pd.Series([], dtype="int64"),
+                          "jaccard": pd.Series([], dtype="float64")})
+    if cands.empty:
+        return empty
+    pairs = cands[["doc_a", "doc_b"]].to_numpy(dtype=np.int64)
+    import ray
+
+    wanted = np.unique(pairs.ravel())
+    ref = ray.put(wanted)
+
+    class Shingler:
+        def __init__(self):
+            self.wanted = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            dv = t[id_col].to_numpy()
+            idx = np.minimum(np.searchsorted(self.wanted, dv), self.wanted.size - 1)
+            mask = self.wanted[idx] == dv
+            sel = t.filter(pa.array(mask))
+            out_ids, out_sh = [], []
+            for d, txt in zip(sel[id_col].to_pylist(), sel[text_col].to_pylist()):
+                sh = set(_shingles(txt, n))
+                hv = np.unique(_stable_hash64(sorted(sh))) if sh else np.array([], np.uint64)
+                out_ids.append(d)
+                out_sh.append(hv.astype("<u8").tobytes())
+            return pa.table(
+                {
+                    id_col: pa.array(out_ids, pa.int64()),
+                    "shingles": pa.array(out_sh, pa.binary()),
+                }
+            )
+
+    sh_tbl = ds.map_batches(Shingler, batch_format="pyarrow", concurrency=2).to_pandas()
+    sets = {
+        int(d): np.frombuffer(b, dtype="<u8")
+        for d, b in zip(sh_tbl[id_col], sh_tbl["shingles"])
     }
     out_a, out_b, out_j = [], [], []
-    for da, db in zip(cands["doc_a"], cands["doc_b"]):
-        sa, sb = shingle_map[int(da)], shingle_map[int(db)]
-        if not sa or not sb:
+    for da, db in pairs:
+        sa, sb = sets[int(da)], sets[int(db)]
+        if sa.size == 0 or sb.size == 0:
             continue
-        j = len(sa & sb) / len(sa | sb)
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        j = inter / (sa.size + sb.size - inter)
         if j >= threshold:
             out_a.append(int(da))
             out_b.append(int(db))
             out_j.append(j)
-    return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "jaccard": out_j})
+    return pd.DataFrame(
+        {"doc_a": np.array(out_a, dtype=np.int64),
+         "doc_b": np.array(out_b, dtype=np.int64),
+         "jaccard": np.array(out_j, dtype=np.float64)}
+    )
