@@ -5,12 +5,21 @@
   every task), per-batch partial top-k, tiny final merge.  The baseline
   and the oracle-checkable path.
 * :func:`ann_topk_lsh` — random-hyperplane LSH bucketing: candidates
-  share a bucket with the query (multi-probe over 1-bit flips), exact
-  cosine within candidates.  The scale path: each query touches a few
-  buckets instead of every row.
-* :func:`embedding_neardup_pairs` — all-pairs cosine ≥ threshold via
-  per-batch matmul against the broadcast (normalized) matrix, upper
-  triangle only.
+  share a bucket with the query (multi-probe over 1-bit flips), scored
+  distributed like the brute force but over the probed fraction only.
+  ``build_lsh_index`` persists the bucket assignment as
+  bucket-partitioned parquet so repeated query sets read only their
+  probed buckets (partition-pruned ``read_parquet``).
+* :func:`embedding_neardup_pairs` — all pairs with cosine ≥ threshold,
+  EXACT, via blocked pairwise matmul: the corpus is normalized into
+  object-store blocks once and every block pair (i ≤ j) is one Ray
+  task holding just two blocks — O(N²/P) flops per task, O(N·d/B)
+  memory per task, nothing O(N) on the driver.  (The Dataset API has
+  no self-cross-product, so this is one of the documented raw-task
+  escapes; partitioning assumption: a single block pair fits a worker.)
+* :func:`ann_topk_ivf` — IVF: distributed Lloyd k-means (per-batch
+  (sum,count) partials against broadcast centroids), candidates
+  filtered to the probed clusters and scored distributed.
 """
 
 from __future__ import annotations
@@ -31,29 +40,57 @@ def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
     return flat.reshape(batch.num_rows, -1)
 
 
-def ann_topk_bruteforce(ds, query_vecs: np.ndarray, k: int = 10,
-                        vec_col: str = "embedding", id_col: str = "vec_id"):
-    """Exact cosine top-k for each query row. Returns a pandas frame
-    (qid, rank, vec_id, cosine) with ties broken (cos desc, vec_id asc)."""
+def _merge_partial_topk(partials: pd.DataFrame, q_count: int, k: int) -> pd.DataFrame:
+    """Driver-side merge of per-batch partial top-ks (≤ batches×Q×k
+    rows — bounded by the plan, not the corpus)."""
+    out = []
+    for qi in range(q_count):
+        g = partials[partials["qid"] == qi]
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        out.append(g)
+    if not out:
+        return pd.DataFrame({"qid": [], "rank": [], "vec_id": [], "cosine": []})
+    res = pd.concat(out, ignore_index=True)
+    return res[["qid", "rank", "vec_id", "cosine"]]
+
+
+def _scored_partials(ds, q: np.ndarray, k: int, vec_col: str, id_col: str,
+                     probe_clusters: np.ndarray | None = None,
+                     cluster_col: str = "cluster") -> pd.DataFrame:
+    """Distributed scoring stage shared by brute-force / LSH / IVF:
+    each batch multiplies against the broadcast query matrix and emits
+    its per-query partial top-k.  With ``probe_clusters`` (Q × nprobe),
+    a candidate only scores for queries probing its cluster."""
     import ray
 
-    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
     q_ref = ray.put(q)
+    probe_ref = ray.put(probe_clusters)
 
     class Score:
         def __init__(self):
             self.q = ray.get(q_ref)  # broadcast once per actor
+            self.probe = ray.get(probe_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"qid": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
             m = _normalize(_emb_matrix(batch, vec_col))
             ids = batch[id_col].to_numpy()
             sims = m @ self.q.T  # (B, Q)
+            if self.probe is not None:
+                cl = batch[cluster_col].to_numpy()
+                for qi in range(self.q.shape[0]):
+                    sims[~np.isin(cl, self.probe[qi]), qi] = -np.inf
             nq = self.q.shape[0]
             kk = min(k, m.shape[0])
             out = {"qid": [], "vec_id": [], "cosine": []}
             for qi in range(nq):
                 s = sims[:, qi]
                 part = np.argpartition(-s, kk - 1)[:kk] if s.size > kk else np.arange(s.size)
+                part = part[np.isfinite(s[part])]
                 out["qid"].extend([qi] * part.size)
                 out["vec_id"].extend(ids[part].tolist())
                 out["cosine"].extend(s[part].tolist())
@@ -65,30 +102,23 @@ def ann_topk_bruteforce(ds, query_vecs: np.ndarray, k: int = 10,
                 }
             )
 
-    partials = ds.map_batches(Score, batch_format="pyarrow", concurrency=2).to_pandas()
-    out = []
-    for qi, g in partials.groupby("qid"):
-        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
-        g = g.assign(rank=np.arange(1, len(g) + 1))
-        out.append(g)
-    res = pd.concat(out, ignore_index=True) if out else partials.assign(rank=[])
-    return res[["qid", "rank", "vec_id", "cosine"]]
+    return ds.map_batches(Score, batch_format="pyarrow", concurrency=2).to_pandas()
 
 
-def ann_topk_lsh(ds, query_vecs: np.ndarray, k: int = 10, planes: int = 8,
-                 vec_col: str = "embedding", id_col: str = "vec_id", seed: int = 11,
-                 multiprobe: int = 1):
-    """Approximate cosine top-k via random-hyperplane buckets.
-
-    Index side: one pass assigns each vector its LSH bucket
-    (``map_batches``); query side probes the query's bucket plus all
-    1-bit-flip neighbors (multiprobe), scoring candidates exactly.
-    """
-    rng = np.random.default_rng(seed)
+def ann_topk_bruteforce(ds, query_vecs: np.ndarray, k: int = 10,
+                        vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Exact cosine top-k for each query row. Returns a pandas frame
+    (qid, rank, vec_id, cosine) with ties broken (cos desc, vec_id asc)."""
     q = _normalize(np.asarray(query_vecs, dtype=np.float64))
-    dim = q.shape[1]
-    H = rng.standard_normal((dim, planes))
+    partials = _scored_partials(ds, q, k, vec_col, id_col)
+    return _merge_partial_topk(partials, q.shape[0], k)
 
+
+def _lsh_planes(dim: int, planes: int, seed: int) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((dim, planes))
+
+
+def _bucketize_fn(H: np.ndarray, planes: int, vec_col: str, id_col: str):
     def bucketize(batch: pa.Table) -> pa.Table:
         m = _normalize(_emb_matrix(batch, vec_col))
         bits = (m @ H) > 0
@@ -101,7 +131,43 @@ def ann_topk_lsh(ds, query_vecs: np.ndarray, k: int = 10, planes: int = 8,
             }
         )
 
-    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
+    return bucketize
+
+
+def build_lsh_index(ds, path: str, planes: int = 8, vec_col: str = "embedding",
+                    id_col: str = "vec_id", seed: int = 11) -> str:
+    """Persist the LSH bucket assignment as bucket-partitioned parquet.
+
+    One directory per bucket value → a query-time read touches only the
+    probed partitions (partition-pruned ``read_parquet``), the on-disk
+    analog of a bucket hash table.  Plane params are derived from
+    (dim, planes, seed), so queries regenerate them deterministically.
+    """
+    first = ds.limit(1).to_pandas()
+    dim = len(first[vec_col].iloc[0])
+    H = _lsh_planes(dim, planes, seed)
+    ds.map_batches(
+        _bucketize_fn(H, planes, vec_col, id_col), batch_format="pyarrow"
+    ).write_parquet(path, partition_cols=["bucket"])
+    return path
+
+
+def ann_topk_lsh(ds, query_vecs: np.ndarray, k: int = 10, planes: int = 8,
+                 vec_col: str = "embedding", id_col: str = "vec_id", seed: int = 11,
+                 multiprobe: int = 1, index_path: str | None = None):
+    """Approximate cosine top-k via random-hyperplane buckets.
+
+    Candidates = rows in a query's bucket or any 1-bit-flip neighbor
+    (multiprobe), scored exactly through the distributed partial-top-k
+    stage.  With ``index_path`` (from :func:`build_lsh_index`) the scan
+    reads only the probed bucket partitions instead of bucketizing the
+    corpus per query set.
+    """
+    import pyarrow.compute as pc
+
+    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    dim = q.shape[1]
+    H = _lsh_planes(dim, planes, seed)
     qbits = (q @ H) > 0
     qbuckets = (qbits @ (1 << np.arange(planes))).astype(np.int64)
     probe: set[int] = set()
@@ -110,70 +176,107 @@ def ann_topk_lsh(ds, query_vecs: np.ndarray, k: int = 10, planes: int = 8,
         if multiprobe >= 1:
             for p in range(planes):
                 probe.add(qb ^ (1 << p))
-    import pyarrow.compute as pc
+    probe_arr = sorted(probe)
 
-    cand = bucketed.map_batches(
-        lambda t: t.filter(pc.is_in(t["bucket"], value_set=pa.array(sorted(probe)))),
-        batch_format="pyarrow",
-    ).to_pandas()
-    if cand.empty:
-        return pd.DataFrame({"qid": [], "rank": [], "vec_id": [], "cosine": []})
-    m = _normalize(np.array(cand[vec_col].tolist(), dtype=np.float64))
-    ids = cand[id_col].to_numpy()
-    sims = m @ q.T
-    out = []
-    for qi in range(q.shape[0]):
-        s = sims[:, qi]
-        order = np.lexsort((ids, -s))[:k]
-        out.append(
-            pd.DataFrame(
-                {
-                    "qid": qi,
-                    "rank": np.arange(1, order.size + 1),
-                    "vec_id": ids[order],
-                    "cosine": s[order],
-                }
+    if index_path is not None:
+        import os
+
+        import ray.data as rd
+
+        # explicit partition pruning: only the probed bucket directories
+        # are ever opened (the on-disk bucket table is hive-partitioned
+        # by ``build_lsh_index``)
+        import glob
+
+        paths = [
+            f
+            for b in probe_arr
+            for f in sorted(
+                glob.glob(os.path.join(index_path, f"bucket={b}", "*.parquet"))
             )
+        ]
+        if not paths:
+            return pd.DataFrame({"qid": [], "rank": [], "vec_id": [], "cosine": []})
+        cand = rd.read_parquet(paths)
+    else:
+        bucketed = ds.map_batches(
+            _bucketize_fn(H, planes, vec_col, id_col), batch_format="pyarrow"
         )
-    return pd.concat(out, ignore_index=True)
+        cand = bucketed.map_batches(
+            lambda t: t.filter(pc.is_in(t["bucket"], value_set=pa.array(probe_arr))),
+            batch_format="pyarrow",
+        )
+    partials = _scored_partials(cand, q, k, vec_col, id_col)
+    return _merge_partial_topk(partials, q.shape[0], k)
 
 
 def embedding_neardup_pairs(ds, threshold: float = 0.95,
-                            vec_col: str = "embedding", id_col: str = "vec_id"):
-    """All pairs with cosine ≥ threshold (doc_a < doc_b).
+                            vec_col: str = "embedding", id_col: str = "vec_id",
+                            block_rows: int = 8192):
+    """All pairs with cosine ≥ threshold (vec_a < vec_b). EXACT.
 
-    Each batch multiplies against the broadcast normalized matrix —
-    O(N·B·d) flops distributed across tasks; at larger N swap the
-    broadcast side for LSH buckets (see :func:`ann_topk_lsh`).
+    Blocked pairwise matmul: normalize once into object-store blocks
+    (``to_arrow_refs`` — blocks never concatenate on the driver), then
+    one Ray task per block pair (i ≤ j).  Each task holds exactly two
+    blocks; results are the (small) threshold-passing pairs.  At 100-TB
+    scale the same code shape applies with an LSH/IVF pre-bucket
+    replacing the all-pairs block grid (see :func:`ann_topk_lsh`);
+    exact all-pairs is the oracle-checkable contract here.
     """
     import ray
 
-    full = ds.select_columns([id_col, vec_col]).to_pandas()
-    ids_all = full[id_col].to_numpy()
-    m_all = _normalize(np.array(full[vec_col].tolist(), dtype=np.float64))
-    ref = ray.put((ids_all, m_all))
+    def norm_block(batch: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(batch, vec_col))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "nvec": pa.array(m.tolist(), pa.list_(pa.float64())),
+            }
+        )
 
-    class Pairs:
-        def __init__(self):
-            self.ids_all, self.m_all = ray.get(ref)
+    norm = ds.select_columns([id_col, vec_col]).map_batches(
+        norm_block, batch_format="pyarrow", batch_size=block_rows
+    )
+    refs = norm.to_arrow_refs()
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(_emb_matrix(batch, vec_col))
-            ids = batch[id_col].to_numpy()
-            sims = m @ self.m_all.T
-            bi, aj = np.nonzero(sims >= threshold)
-            a = ids[bi]
-            b = self.ids_all[aj]
-            keep = a < b  # upper triangle, no self pairs
-            return pa.table(
-                {
-                    "vec_a": pa.array(a[keep], pa.int64()),
-                    "vec_b": pa.array(b[keep], pa.int64()),
-                    "cosine": pa.array(sims[bi, aj][keep], pa.float64()),
-                }
-            )
+    @ray.remote
+    def block_pair(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        if ta.num_rows == 0 or tb.num_rows == 0:
+            return pa.table({"vec_a": pa.array([], pa.int64()),
+                             "vec_b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        ma = _emb_matrix(ta, "nvec")
+        mb = _emb_matrix(tb, "nvec")
+        ia = ta[id_col].to_numpy()
+        ib = tb[id_col].to_numpy()
+        sims = ma @ mb.T
+        ai, bj = np.nonzero(sims >= threshold)
+        a, b = ia[ai], ib[bj]
+        # same-block: each unordered pair shows up twice (and self pairs
+        # on the diagonal) → keep the a<b half.  Cross-block: blocks are
+        # disjoint row sets, each unordered pair appears exactly once —
+        # keep everything and normalize the id order.
+        keep = (a < b) if same else np.ones(a.size, dtype=bool)
+        return pa.table(
+            {
+                "vec_a": pa.array(np.minimum(a, b)[keep], pa.int64()),
+                "vec_b": pa.array(np.maximum(a, b)[keep], pa.int64()),
+                "cosine": pa.array(sims[ai, bj][keep], pa.float64()),
+            }
+        )
 
-    res = ds.map_batches(Pairs, batch_format="pyarrow", concurrency=2).to_pandas()
+    futs = []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            futs.append(block_pair.remote(refs[i], refs[j], i == j))
+    parts = [t.to_pandas() for t in ray.get(futs)]
+    if not parts:
+        return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                             "vec_b": pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
+    res = pd.concat(parts, ignore_index=True)
+    # i==j diagonal task already emits a<b only; cross tasks may emit a
+    # pair once from (i,j) — pairs are unique by construction, just sort
     return res.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
@@ -220,9 +323,10 @@ def ann_topk_ivf(ds, query_vecs: np.ndarray, k: int = 10, n_clusters: int = 16,
                  nprobe: int = 4, vec_col: str = "embedding",
                  id_col: str = "vec_id", seed: int = 13):
     """IVF ANN: cluster the corpus (k-means), probe the ``nprobe``
-    nearest centroids per query, score candidates exactly.  The scale
-    path: each query touches ~nprobe/n_clusters of the corpus."""
-    import pyarrow.compute as pc
+    nearest centroids per query, score candidates through the
+    distributed partial-top-k stage (per-query probe mask applied
+    inside the scoring actors — candidate embeddings never collect on
+    the driver)."""
     import ray
 
     q = _normalize(np.asarray(query_vecs, dtype=np.float64))
@@ -244,26 +348,7 @@ def ann_topk_ivf(ds, query_vecs: np.ndarray, k: int = 10, n_clusters: int = 16,
             }
         )
 
-    cand = ds.map_batches(assign_and_filter, batch_format="pyarrow").to_pandas()
-    if cand.empty:
-        return pd.DataFrame({"qid": [], "rank": [], "vec_id": [], "cosine": []})
-    m = _normalize(np.array(cand[vec_col].tolist(), dtype=np.float64))
-    ids = cand[id_col].to_numpy()
-    clusters = cand["cluster"].to_numpy()
-    out = []
-    for qi in range(q.shape[0]):
-        mask = np.isin(clusters, probe[qi])
-        s = m[mask] @ q[qi]
-        cids = ids[mask]
-        order = np.lexsort((cids, -s))[:k]
-        out.append(
-            pd.DataFrame(
-                {
-                    "qid": qi,
-                    "rank": np.arange(1, order.size + 1),
-                    "vec_id": cids[order],
-                    "cosine": s[order],
-                }
-            )
-        )
-    return pd.concat(out, ignore_index=True)
+    cand = ds.map_batches(assign_and_filter, batch_format="pyarrow")
+    partials = _scored_partials(cand, q, k, vec_col, id_col,
+                                probe_clusters=probe)
+    return _merge_partial_topk(partials, q.shape[0], k)

@@ -151,6 +151,47 @@ def test_embedding_neardup(ray_session):
     assert (3, 10) in got
 
 
+def test_embedding_neardup_multiblock_matches_singleblock(ray_session):
+    """Cross-block pair tasks must find the same pairs as one block."""
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.similarity import embedding_neardup_pairs
+
+    rng = np.random.default_rng(17)
+    m = rng.standard_normal((120, 8))
+    m[100] = m[7] * 3.0  # planted same-direction pair across blocks
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": m[i].tolist()} for i in range(120)]
+    )
+    small = embedding_neardup_pairs(ds, threshold=0.9, block_rows=16)
+    big = embedding_neardup_pairs(ds, threshold=0.9, block_rows=10**6)
+    assert small[["vec_a", "vec_b"]].values.tolist() == big[["vec_a", "vec_b"]].values.tolist()
+    got = {(int(a), int(b)) for a, b in zip(small["vec_a"], small["vec_b"])}
+    assert (7, 100) in got
+
+
+def test_lsh_persisted_index_matches_onthefly(ray_session, tmp_path):
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.similarity import (
+        ann_topk_lsh,
+        build_lsh_index,
+    )
+
+    rng = np.random.default_rng(18)
+    n, d = 300, 16
+    m = rng.standard_normal((n, d))
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": m[i].tolist()} for i in range(n)]
+    )
+    idx = str(tmp_path / "lsh_idx")
+    build_lsh_index(ds, idx, planes=8)
+    q = m[:3]
+    a = ann_topk_lsh(ds, q, k=5, planes=8)
+    b = ann_topk_lsh(ds, q, k=5, planes=8, index_path=idx)
+    assert a[["qid", "rank", "vec_id"]].values.tolist() == b[["qid", "rank", "vec_id"]].values.tolist()
+
+
 def test_token_stats_and_quality(docs_ds):
     from gazetteer_search_ray.pipelines.textstats import quality_score, token_stats
 
