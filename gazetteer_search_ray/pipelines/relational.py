@@ -59,14 +59,30 @@ def join_aggregate_counts(
     dim_ds,
     dim_key: str,
     out_col: str = "ref_count",
+    broadcast_limit: int = 5_000_000,
 ):
-    """dim ⟕ (fact groupby key → count): broadcast the small aggregate.
+    """dim ⟕ (fact groupby key → count), G2 street-usage backfill.
 
-    The fact side pre-aggregates per batch (combiner) so the groupby
-    shuffles one row per key per batch instead of every fact row.
+    The fact side pre-aggregates per batch (pyarrow group_by combiner),
+    so only one row per (key, batch) leaves a fact task.  Strategy then
+    splits on aggregate size:
+
+    * **broadcast** (≤ ``broadcast_limit`` partial rows): the partials
+      are merged with one driver-side pyarrow ``group_by`` (C++), the
+      resulting key→count table is ``ray.put`` once, and every dim
+      batch applies it with an Arrow hash join (``Table.join``) — no
+      Ray shuffle at all, no per-row Python.
+    * **shuffle fallback** (bigger): a distributed
+      ``groupby(key).sum`` of the partials followed by Ray's
+      hash-shuffle ``Dataset.join`` — nothing key-cardinality-sized
+      ever reaches the driver.
+
+    The partial-row count that picks the strategy is itself computed
+    streaming (``partials.count()``); the partial table is materialized
+    so the strategy probe doesn't re-scan the fact table.
     """
     import ray
-    from ray.data.aggregate import Sum
+    import ray.data as rd
 
     def partial(t: pa.Table) -> pa.Table:
         g = t.group_by([fact_key], use_threads=False).aggregate(
@@ -74,24 +90,74 @@ def join_aggregate_counts(
         )
         return g.rename_columns([fact_key, "p_cnt"])
 
+    partials = fact_ds.map_batches(partial, batch_format="pyarrow").materialize()
+
+    if partials.count() <= broadcast_limit:
+        # ---- broadcast path (the common case: dim-sized aggregate) ----
+        merged = (
+            pa.concat_tables(ray.get(partials.to_arrow_refs()))
+            .group_by([fact_key], use_threads=True)
+            .aggregate([("p_cnt", "sum")])
+            .rename_columns([fact_key, out_col])
+        )
+        merged = merged.set_column(
+            merged.schema.get_field_index(out_col),
+            out_col,
+            pc.cast(merged[out_col], pa.int64()),
+        )
+        lookup_ref = ray.put(merged)
+
+        class Backfill:
+            def __init__(self):
+                self.lookup: pa.Table = ray.get(lookup_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                joined = batch.join(
+                    self.lookup,
+                    keys=[dim_key],
+                    right_keys=[fact_key],
+                    join_type="left outer",
+                )
+                cnt = pc.fill_null(joined[out_col], 0)
+                i = joined.schema.get_field_index(out_col)
+                return joined.set_column(i, out_col, pc.cast(cnt, pa.int64()))
+
+        return dim_ds.map_batches(Backfill, batch_format="pyarrow", concurrency=2)
+
+    # ---- shuffle fallback: distributed aggregate + hash-shuffle join ----
+    from ray.data.aggregate import Sum
+
     counts = (
-        fact_ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(fact_key)
-        .aggregate(Sum("p_cnt", alias_name=out_col))
+        partials.groupby(fact_key).aggregate(Sum("p_cnt", alias_name=out_col))
     )
-    cdf = counts.to_pandas()  # one row per key — small by construction
-    lookup_ref = ray.put(dict(zip(cdf[fact_key], cdf[out_col].astype(np.int64))))
+    if fact_key == dim_key:
+        counts = counts.map_batches(
+            lambda t: t.rename_columns([fact_key + "__jk", out_col]),
+            batch_format="pyarrow",
+        )
+        right_key = fact_key + "__jk"
+    else:
+        right_key = fact_key
+    try:
+        nparts = max(dim_ds.num_blocks(), 8)
+    except NotImplementedError:
+        nparts = 32
+    joined = dim_ds.join(
+        counts,
+        join_type="left_outer",
+        num_partitions=nparts,
+        on=(dim_key,),
+        right_on=(right_key,),
+    )
 
-    class Backfill:
-        def __init__(self):
-            self.lookup = ray.get(lookup_ref)
+    def finish(t: pa.Table) -> pa.Table:
+        cnt = pc.cast(pc.fill_null(t[out_col], 0), pa.int64())
+        t = t.set_column(t.schema.get_field_index(out_col), out_col, cnt)
+        if right_key in t.column_names and right_key != dim_key:
+            t = t.drop_columns([right_key])
+        return t
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch[dim_key].to_pylist()
-            vals = np.array([self.lookup.get(k, 0) for k in keys], dtype=np.int64)
-            return batch.append_column(out_col, pa.array(vals))
-
-    return dim_ds.map_batches(Backfill, batch_format="pyarrow", concurrency=2)
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 def group_stats(ds, col: str, alias: str = "cnt"):
