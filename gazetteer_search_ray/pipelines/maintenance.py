@@ -26,7 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..functions.codec import decode_posting, encode_posting
+from ..functions.codec import encode_posting_groups
 from ..state import manifest as mf
 
 
@@ -72,90 +72,143 @@ def backfill_column(index_dir: str, values: dict[int, object], column: str,
     return int(sum(ray.get(futs)))
 
 
+def _decode_rows_flat(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode ALL posting rows of one postings table in one vectorized
+    pass → (docs, tfs, group_offsets len rows+1).
+
+    The per-row varbyte streams are concatenated and decoded once; the
+    global delta cumsum is then rebased at each row start (same trick as
+    ``codec.decode_blocks``) — no per-value Python, and per-row Python
+    is limited to the buffer concatenation."""
+    from ..functions.codec import varbyte_decode
+
+    dfs = t["df"].to_numpy().astype(np.int64)
+    off = np.concatenate(([0], np.cumsum(dfs)))
+    docs_bufs = t["docs"].to_pylist()
+    tfs_bufs = t["tfs"].to_pylist()
+    if off[-1] == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64), off
+    gaps = varbyte_decode(
+        np.concatenate([np.frombuffer(b, np.uint8) for b in docs_bufs])
+    )
+    tfs = varbyte_decode(
+        np.concatenate([np.frombuffer(b, np.uint8) for b in tfs_bufs])
+    ).astype(np.int64)
+    abs_all = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
+    starts = off[:-1]
+    prior = np.where(starts > 0, abs_all[np.maximum(starts - 1, 0)], 0)
+    docs = abs_all - np.repeat(prior, dfs)
+    return docs.astype(np.int64), tfs, off
+
+
 def delete_docs(index_dir: str, doc_ids=None, predicate=None) -> dict:
     """Anti-join compaction: drop docs from doc-store + postings.
 
     ``doc_ids``: iterable of ids, or ``predicate(table) -> bool mask``
-    over a docmeta table.  Rewrites every segment file without the
-    deleted rows, re-derives global stats, re-commits the manifest with
-    ``import_counter + 1`` (reference M16 generation semantics).
+    over a docmeta table.  Two parallel phases, one Ray task per file:
+
+    1. docmeta files rewrite themselves without the deleted rows and
+       return (dropped ids, kept (doc_id, dl) pairs, kept stats);
+    2. postings files decode ALL their rows in one vectorized pass,
+       drop deleted postings, gather TRUE doc lengths from the
+       broadcast (doc_id, dl) arrays, and re-encode everything through
+       ``encode_posting_groups`` — so ``block_min_dl`` (hence block-max
+       pruning bounds) stays exact after compaction.
+
+    The broadcast dl table is O(n_docs) per segment group — the same
+    bound the query readers already hold in memory.  Manifest is
+    re-committed last with ``import_counter + 1`` (reference M16
+    generation semantics, ``AddressesImporter.java:193-212``).
     """
-    drop: set[int] = set(int(d) for d in (doc_ids or []))
-    total_docs = 0
-    total_tokens = 0
+    import ray
+
+    drop_init = np.array(sorted({int(d) for d in (doc_ids or [])}), dtype=np.int64)
+    drop_ref = ray.put(drop_init)
+
+    @ray.remote
+    def rewrite_docmeta(path: str):
+        t = pq.read_table(path)
+        ids = t["doc_id"].to_numpy()
+        mask = np.ones(t.num_rows, dtype=bool)
+        if predicate is not None:
+            mask &= ~np.asarray(predicate(t))
+        drop0 = ray.get(drop_ref)
+        if drop0.size:
+            idx = np.minimum(np.searchsorted(drop0, ids), drop0.size - 1)
+            mask &= drop0[idx] != ids
+        t2 = t.filter(pa.array(mask))
+        if t2.num_rows != t.num_rows:
+            mf.atomic_write_table(t2, path)
+        return (
+            ids[~mask],
+            t2["doc_id"].to_numpy(),
+            t2["dl"].to_numpy().astype(np.int64),
+        )
+
+    dm_futs = []
     for seg in _segment_dirs(index_dir):
         dmdir = os.path.join(seg, "docmeta")
         for fname in sorted(os.listdir(dmdir)):
-            if not fname.endswith(".parquet"):
-                continue
-            path = os.path.join(dmdir, fname)
-            t = pq.read_table(path)
-            mask = np.ones(t.num_rows, dtype=bool)
-            if predicate is not None:
-                mask &= ~np.asarray(predicate(t))
-            if drop:
-                mask &= ~np.isin(t["doc_id"].to_numpy(), list(drop))
-            dropped_here = t.filter(pa.array(~mask))
-            drop.update(int(d) for d in dropped_here["doc_id"].to_pylist())
-            t2 = t.filter(pa.array(mask))
-            if t2.num_rows != t.num_rows:
-                mf.atomic_write_table(t2, path)
-            total_docs += t2.num_rows
-            total_tokens += int(pc.sum(t2["dl"]).as_py() or 0)
+            if fname.endswith(".parquet"):
+                dm_futs.append(rewrite_docmeta.remote(os.path.join(dmdir, fname)))
+    dropped_parts, kept_id_parts, kept_dl_parts = zip(*ray.get(dm_futs)) if dm_futs else ((), (), ())
 
-    drop_arr = np.array(sorted(drop), dtype=np.int64)
+    drop_arr = np.unique(
+        np.concatenate([drop_init, *[d.astype(np.int64) for d in dropped_parts]])
+        if dropped_parts
+        else drop_init
+    )
+    kept_ids = np.concatenate(kept_id_parts) if kept_id_parts else np.empty(0, np.int64)
+    kept_dls = np.concatenate(kept_dl_parts) if kept_dl_parts else np.empty(0, np.int64)
+    order = np.argsort(kept_ids)
+    kept_ids, kept_dls = kept_ids[order], kept_dls[order]
+    total_docs = int(kept_ids.size)
+    total_tokens = int(kept_dls.sum())
+    dl_ref = ray.put((kept_ids, kept_dls))
+    drop_all_ref = ray.put(drop_arr)
+
+    @ray.remote
+    def rewrite_postings(path: str) -> int:
+        from ..stages.postings import POSTINGS_SCHEMA, _encoded_table
+
+        t = pq.read_table(path)
+        if t.num_rows == 0:
+            return 0
+        docs, tfs, off = _decode_rows_flat(t)
+        drops = ray.get(drop_all_ref)
+        if drops.size == 0:
+            return t.num_rows
+        idx = np.minimum(np.searchsorted(drops, docs), drops.size - 1)
+        keep = drops[idx] != docs
+        if keep.all():
+            return t.num_rows
+        ids_sorted, dls_sorted = ray.get(dl_ref)
+        kdocs, ktfs = docs[keep], tfs[keep]
+        kdls = dls_sorted[np.searchsorted(ids_sorted, kdocs)]
+        lens = np.diff(off)
+        gid = np.repeat(np.arange(lens.size), lens)
+        new_lens = np.bincount(gid[keep], minlength=lens.size)
+        nonempty = np.flatnonzero(new_lens > 0)
+        if nonempty.size == 0:
+            os.unlink(path)
+            return 0
+        new_off = np.concatenate(([0], np.cumsum(new_lens[nonempty])))
+        enc = encode_posting_groups(kdocs, ktfs, kdls, new_off)
+        out = _encoded_table(
+            t["term"].take(pa.array(nonempty)),
+            t["shard"].take(pa.array(nonempty)),
+            enc,
+        )
+        mf.atomic_write_table(out, path)
+        return out.num_rows
+
+    p_futs = []
     for seg in _segment_dirs(index_dir):
         pdir = os.path.join(seg, "postings")
         for fname in sorted(os.listdir(pdir)):
-            if not fname.endswith(".parquet"):
-                continue
-            path = os.path.join(pdir, fname)
-            t = pq.read_table(path)
-            rows = []
-            changed = False
-            for i in range(t.num_rows):
-                row = {c: t[c][i].as_py() for c in t.column_names}
-                p = decode_posting(row)
-                if drop_arr.size:
-                    idx = np.minimum(
-                        np.searchsorted(drop_arr, p.doc_ids), drop_arr.size - 1
-                    )
-                    keep = drop_arr[idx] != p.doc_ids
-                else:
-                    keep = np.ones(p.doc_ids.size, dtype=bool)
-                if keep.all():
-                    rows.append(row)
-                    continue
-                changed = True
-                if not keep.any():
-                    continue
-                # re-encode without the deleted docs; block_min_dl needs
-                # dls — deleted docs only shrink blocks, so reuse a safe
-                # bound: per-posting dl gathered from... we no longer
-                # store dls per posting, so rebuild with min_dl bound 1
-                # (still a valid upper bound for tf_norm)
-                enc = encode_posting(
-                    p.doc_ids[keep], p.tfs[keep],
-                    np.ones(int(keep.sum()), dtype=np.int64),
-                )
-                rows.append({"term": row["term"], "shard": row["shard"], **{
-                    k: (enc[k] if not isinstance(enc[k], np.ndarray) else enc[k].tolist())
-                    for k in ("df", "docs", "tfs", "block_last_doc", "block_max_tf",
-                              "block_min_dl", "block_docs_off", "block_tfs_off")
-                }})
-            if changed:
-                if rows:
-                    from ..stages.postings import POSTINGS_SCHEMA
-
-                    cols = {
-                        name: [r[name] for r in rows]
-                        for name in POSTINGS_SCHEMA.names
-                    }
-                    mf.atomic_write_table(
-                        pa.table(cols, schema=POSTINGS_SCHEMA), path
-                    )
-                else:
-                    os.unlink(path)
+            if fname.endswith(".parquet"):
+                p_futs.append(rewrite_postings.remote(os.path.join(pdir, fname)))
+    ray.get(p_futs)
 
     man = mf.read_manifest(index_dir)
     man.pop("format_version", None)

@@ -142,6 +142,22 @@ def test_delete_docs_compaction(ray_session):
     # deleted docs are gone from search results
     hits = s2.search("def return class", k=50, use_prior=False)
     assert not ({h["doc_id"] for h in hits} & victims)
+    # compaction preserves TRUE block_min_dl: the pruned disjunction
+    # path must stay identical to exhaustive evaluation
+    for terms in (["def", "return"], ["class", "import", "def"]):
+        plan = Bool(should=tuple(Term(t) for t in terms))
+        pruned = s2.engine.top_k(plan, 20)
+        exhaustive = s2.engine._topk(*s2.engine.evaluate(plan), 20)
+        np.testing.assert_array_equal(pruned[0], exhaustive[0])
+        np.testing.assert_allclose(pruned[1], exhaustive[1])
+    # block_min_dl values match the doc store (not the loosened bound 1)
+    tp = s2.reader.posting("def")
+    if tp:
+        for p in tp.parts:
+            docs, _tfs = s2.reader.decode_all(tp)
+            dls = s2.reader.dl_of(docs)
+            assert int(np.asarray(p["block_min_dl"]).min()) >= int(dls.min())
+            assert int(np.asarray(p["block_min_dl"]).min()) > 1
 
 
 def test_mass_eval_pipeline(idx, tmp_path):
