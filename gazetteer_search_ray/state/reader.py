@@ -32,20 +32,13 @@ import os
 DOCMETA_EXTRA = ("lang", "repo", "path", "base_score", "sha256", "n_chars")
 
 
-def _ed1(a: str, b: str) -> bool:
-    """True iff edit distance(a, b) ≤ 1 (substitution/insert/delete)."""
-    la, lb = len(a), len(b)
-    if abs(la - lb) > 1:
-        return False
-    if la == lb:
-        return sum(1 for x, y in zip(a, b) if x != y) <= 1
-    if la > lb:
-        a, b, la, lb = b, a, lb, la
-    # b is a with one insertion
-    i = 0
-    while i < la and a[i] == b[i]:
-        i += 1
-    return a[i:] == b[i + 1 :]
+from .fuzzy import DeletionNeighborhoodIndex, ed1 as _ed1
+
+# vocabulary size above which fuzzy lookups switch from linear scan to
+# the deletion-neighborhood index (SymSpell) — the scan is O(|vocab|)
+# per query, the index O(len(term)); below the cutoff the scan is
+# cheaper than building the index
+FUZZY_SCAN_CUTOFF = 50_000
 
 
 @dataclass
@@ -159,11 +152,16 @@ class IndexReader:
     def fuzzy_terms(self, term: str, max_expansions: int = 50) -> list[str]:
         """Dictionary terms within edit distance ≤ 1 of ``term``.
 
-        Candidates are pruned by length (|len diff| ≤ 1) before the
-        exact check over the cached dictionary (adequate below ~10^6
-        dictionary terms per segment group; a Levenshtein automaton over
-        the sorted dictionary is the scale path — SURVEY.md §7.4)."""
+        Small vocabularies use a length-pruned linear scan; above
+        ``FUZZY_SCAN_CUTOFF`` the reader builds (once, cached) a
+        deletion-neighborhood index (``state/fuzzy.py``) — O(len(term))
+        per lookup instead of O(|vocab|), same results (differentially
+        tested)."""
         vocab = self.all_terms()
+        if len(vocab) > FUZZY_SCAN_CUTOFF:
+            if not hasattr(self, "_fuzzy_index"):
+                self._fuzzy_index = DeletionNeighborhoodIndex(vocab)
+            return self._fuzzy_index.lookup(term, max_expansions)
         out = []
         lt = len(term)
         for cand in vocab:
