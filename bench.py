@@ -134,9 +134,27 @@ def run_bench() -> dict:
     if not os.environ.get("GSR_SKIP_SF"):
         from gazetteer_search_ray import driver_queries as dq
 
+        # honest build measurement: force a fresh build into a scratch
+        # dir (round-1 bench reported a 0.04s cache hit as the build)
+        import shutil
+
+        from gazetteer_search_ray.functions.analyzer import AnalyzerConfig as _AC
+        from gazetteer_search_ray.pipelines.build_index import (
+            BuildOptions as _BO,
+            build_index as _bi,
+        )
+        from gazetteer_search_ray.sources.corpus import documents_as_corpus as _dac
+
+        scratch_idx = f"{SCRATCH}/gsr_bench_sf_idx"
+        shutil.rmtree(scratch_idx, ignore_errors=True)
         t0 = time.monotonic()
-        dq.get_searcher(SF_DIR)  # builds the documents index once
+        _bi(
+            _dac(SF_DIR),
+            scratch_idx,
+            _BO(analyzer_config=_AC.simple(), score_builder=dq._prior_from_n_chars),
+        )
         sf_timings["sf_index_build"] = round(time.monotonic() - t0, 3)
+        dq.get_searcher(SF_DIR)  # warm the cached index for the queries below
         for name in ["bm25_or", "dedup_exact", "dedup_minhash", "ann_topk",
                      "token_stats", "join_agg"]:
             t0 = time.monotonic()

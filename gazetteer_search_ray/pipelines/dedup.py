@@ -115,7 +115,7 @@ class MinHasher:
 
 
 def minhash_signatures(ds, num_perm=64, shingle_n=3, text_col="text",
-                       id_col="doc_id", concurrency: int = 2):
+                       id_col="doc_id", concurrency=(2, 16)):
     return ds.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(
@@ -214,11 +214,11 @@ def _pairs_from_band_rows(band_ds, max_bucket: int = 1000) -> np.ndarray:
     per sorted block; only boundary runs (O(#blocks) rows) reach the
     driver.  The collected pair set is the operator's own output —
     bounded by the number of near-duplicates, not the corpus."""
+    emitter = _RunPairEmitter(max_bucket)  # stateless → task pool, no
+    # actor spin-up (the emitter object is just a max_bucket closure)
     mixed = (
         band_ds.sort("bkey")
-        .map_batches(_RunPairEmitter,
-                     fn_constructor_kwargs=dict(max_bucket=max_bucket),
-                     batch_format="pyarrow", concurrency=2)
+        .map_batches(lambda t: emitter(t), batch_format="pyarrow")
         .to_pandas()
     )
     if mixed.empty:
@@ -246,21 +246,17 @@ def _gather_rows(ds, id_col: str, ids: np.ndarray, cols: list[str]) -> pd.DataFr
     ids = np.unique(ids).astype(np.int64)
     ref = ray.put(ids)
 
-    class Filter:
-        def __init__(self):
-            self.wanted = ray.get(ref)  # broadcast once per actor
+    def filt(t: pa.Table) -> pa.Table:
+        wanted = ray.get(ref)  # plasma-local zero-copy read per task
+        dv = t[id_col].to_numpy()
+        if wanted.size == 0:
+            mask = np.zeros(dv.size, dtype=bool)
+        else:
+            idx = np.minimum(np.searchsorted(wanted, dv), wanted.size - 1)
+            mask = wanted[idx] == dv
+        return t.select(cols).filter(pa.array(mask))
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            dv = t[id_col].to_numpy()
-            if self.wanted.size == 0:
-                mask = np.zeros(dv.size, dtype=bool)
-            else:
-                idx = np.minimum(np.searchsorted(self.wanted, dv),
-                                 self.wanted.size - 1)
-                mask = self.wanted[idx] == dv
-            return t.select(cols).filter(pa.array(mask))
-
-    return ds.map_batches(Filter, batch_format="pyarrow", concurrency=2).to_pandas()
+    return ds.map_batches(filt, batch_format="pyarrow").to_pandas()
 
 
 def _band_keys(sig_mat: np.ndarray, bands: int) -> np.ndarray:
@@ -384,7 +380,7 @@ class SimHasher:
 
 
 def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text",
-                  id_col: str = "doc_id", concurrency: int = 2):
+                  id_col: str = "doc_id", concurrency=(2, 16)):
     """Near-dup pairs by SimHash: 4×16-bit band grouping guarantees any
     pair with hamming ≤ 3 shares at least one exact band (pigeonhole);
     band rows shuffle through ``sort(band_key)`` and hamming is verified
@@ -479,29 +475,26 @@ def ngram_jaccard_pairs(
     wanted = np.unique(pairs.ravel())
     ref = ray.put(wanted)
 
-    class Shingler:
-        def __init__(self):
-            self.wanted = ray.get(ref)
+    def shingler(t: pa.Table) -> pa.Table:
+        wanted = ray.get(ref)
+        dv = t[id_col].to_numpy()
+        idx = np.minimum(np.searchsorted(wanted, dv), wanted.size - 1)
+        mask = wanted[idx] == dv
+        sel = t.filter(pa.array(mask))
+        out_ids, out_sh = [], []
+        for d, txt in zip(sel[id_col].to_pylist(), sel[text_col].to_pylist()):
+            sh = set(_shingles(txt, n))
+            hv = np.unique(_stable_hash64(sorted(sh))) if sh else np.array([], np.uint64)
+            out_ids.append(d)
+            out_sh.append(hv.astype("<u8").tobytes())
+        return pa.table(
+            {
+                id_col: pa.array(out_ids, pa.int64()),
+                "shingles": pa.array(out_sh, pa.binary()),
+            }
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            dv = t[id_col].to_numpy()
-            idx = np.minimum(np.searchsorted(self.wanted, dv), self.wanted.size - 1)
-            mask = self.wanted[idx] == dv
-            sel = t.filter(pa.array(mask))
-            out_ids, out_sh = [], []
-            for d, txt in zip(sel[id_col].to_pylist(), sel[text_col].to_pylist()):
-                sh = set(_shingles(txt, n))
-                hv = np.unique(_stable_hash64(sorted(sh))) if sh else np.array([], np.uint64)
-                out_ids.append(d)
-                out_sh.append(hv.astype("<u8").tobytes())
-            return pa.table(
-                {
-                    id_col: pa.array(out_ids, pa.int64()),
-                    "shingles": pa.array(out_sh, pa.binary()),
-                }
-            )
-
-    sh_tbl = ds.map_batches(Shingler, batch_format="pyarrow", concurrency=2).to_pandas()
+    sh_tbl = ds.map_batches(shingler, batch_format="pyarrow").to_pandas()
     sets = {
         int(d): np.frombuffer(b, dtype="<u8")
         for d, b in zip(sh_tbl[id_col], sh_tbl["shingles"])

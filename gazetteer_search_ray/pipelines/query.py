@@ -207,6 +207,8 @@ class QueryEngine:
         self.k1 = k1
         self.b = b
         self._term_eval_cache: dict[tuple[str, float], tuple] = {}
+        self._filter_cache: dict[tuple, np.ndarray] = {}
+        self._ub_cache: dict[str, float] = {}
 
     # -- term scoring ----------------------------------------------------
 
@@ -250,10 +252,20 @@ class QueryEngine:
             docs, _ = self.evaluate(node.child)
             return docs, np.full(docs.size, float(node.score))
         if isinstance(node, ColumnFilter):
-            docs = self.reader.docs_matching(node.column, node.values)
+            key = ("col", node.column, node.values)
+            docs = self._filter_cache.get(key)
+            if docs is None:
+                docs = self.reader.docs_matching(node.column, node.values)
+                if len(self._filter_cache) < 256:
+                    self._filter_cache[key] = docs
             return docs, np.zeros(docs.size)
         if isinstance(node, RangeFilter):
-            docs = self.reader.docs_in_range(node.column, node.lo, node.hi)
+            key = ("rng", node.column, node.lo, node.hi)
+            docs = self._filter_cache.get(key)
+            if docs is None:
+                docs = self.reader.docs_in_range(node.column, node.lo, node.hi)
+                if len(self._filter_cache) < 256:
+                    self._filter_cache[key] = docs
             return docs, np.zeros(docs.size)
         if isinstance(node, Fuzzy):
             terms = self.reader.fuzzy_terms(node.term, node.max_expansions)
@@ -288,14 +300,22 @@ class QueryEngine:
     def _eval_bool(self, node: Bool):
         docs: np.ndarray | None = None
         scores: np.ndarray | None = None
-        for child in node.must:
-            cd, cs = self.evaluate(child)
-            if docs is None:
-                docs, scores = cd, cs
-            else:
-                docs, scores = _intersect(docs, scores, cd, cs)
+        if node.must:
+            parts = [self.evaluate(c) for c in node.must]
+            # membership: intersect smallest-first (cheapest); scores:
+            # summed in ORIGINAL child order over the final doc set so
+            # the float summation order stays the pinned convention
+            order = sorted(range(len(parts)), key=lambda i: parts[i][0].size)
+            docs = parts[order[0]][0]
+            for i in order[1:]:
+                docs = docs[_in_sorted(docs, parts[i][0])]
+                if docs.size == 0:
+                    return EMPTY_I, EMPTY_F
             if docs.size == 0:
                 return EMPTY_I, EMPTY_F
+            scores = np.zeros(docs.size, dtype=np.float64)
+            for pd_, ps_ in parts:
+                scores += _gather_scores(docs, pd_, ps_)
 
         for child in node.filter:
             fd, _ = self.evaluate(child)
@@ -364,14 +384,25 @@ class QueryEngine:
             and node.should
             and not node.must
             and not node.must_not
-            and not node.filter
             and node.minimum_should_match <= 1
             and all(isinstance(c, Term) for c in node.should)
             and node.boost == 1.0
         ):
-            return self.top_k_disjunction(
-                [c for c in node.should], k
-            )
+            if not node.filter:
+                return self.top_k_disjunction([c for c in node.should], k)
+            if all(isinstance(f, (ColumnFilter, RangeFilter)) for f in node.filter):
+                # filtered disjunction: the MaxScore loop runs over the
+                # filter-restricted posting arrays (the round-1 fallback
+                # was exhaustive evaluate for any Bool with filters)
+                fdocs: np.ndarray | None = None
+                for f in node.filter:
+                    fd, _ = self.evaluate(f)
+                    fdocs = fd if fdocs is None else fd[_in_sorted(fd, fdocs)]
+                    if fdocs.size == 0:
+                        return EMPTY_I, EMPTY_F
+                return self.top_k_disjunction(
+                    [c for c in node.should], k, filter_docs=fdocs
+                )
         docs, scores = self.evaluate(node)
         return self._topk(docs, scores, k)
 
@@ -411,7 +442,8 @@ class QueryEngine:
                 out[hit] += boost * sc
         return out
 
-    def top_k_disjunction(self, terms: list[Term], k: int = 20):
+    def top_k_disjunction(self, terms: list[Term], k: int = 20,
+                          filter_docs: np.ndarray | None = None):
         """Exact top-k of a sum-of-BM25 disjunction with MaxScore-style
         dynamic pruning + block-selective decoding.
 
@@ -419,12 +451,19 @@ class QueryEngine:
         ≤ sum of remaining upper bounds; once that sum < θ (current kth
         score), remaining terms are only gathered for known candidates.
         Result is identical to exhaustive evaluation (tested).
+        ``filter_docs`` (sorted) restricts the disjunction to a
+        non-scoring filter set (Q4/Q13 filters) while keeping pruning.
         """
         infos = []
         for node in terms:
             tp = self.reader.posting(node.term)
             if tp is not None:
-                infos.append((node, tp, node.boost * self._term_ub(tp)))
+                ub = self._ub_cache.get(node.term)
+                if ub is None:
+                    ub = self._term_ub(tp)
+                    if len(self._ub_cache) < 8192:
+                        self._ub_cache[node.term] = ub
+                infos.append((node, tp, node.boost * ub))
         if not infos:
             return EMPTY_I, EMPTY_F
         infos.sort(key=lambda x: -x[2])
@@ -441,8 +480,13 @@ class QueryEngine:
                 # tie with the kth and win the doc_id tie-break
                 if theta > remaining:
                     break
-            d, t = self.reader.decode_all(tp)
-            s = node.boost * self._score_tf(d, t, tp.df)
+            # eval_term caches (docs, scores) per term — the decoded
+            # arrays are reused across the whole replay instead of
+            # re-paying varbyte decode + BM25 per query
+            d, s = self.eval_term(node)
+            if filter_docs is not None:
+                m = _in_sorted(d, filter_docs)
+                d, s = d[m], s[m]
             docs, scores = _union_sum([(docs, scores), (d, s)])
         else:
             i = len(infos)

@@ -199,19 +199,21 @@ class Searcher:
     def project(self, docs: np.ndarray, scores: np.ndarray,
                 verbose: bool = False) -> list[dict]:
         """Hit projection from the doc store (Q17: base + verbose field
-        sets, ``ESDefaultSearch.java:39-41,168-177``)."""
+        sets, ``ESDefaultSearch.java:39-41,168-177``).  One vectorized
+        gather per column — not one per hit."""
         r = self.reader
         cols = ["repo", "path", "lang"]
         if verbose:
             cols += ["base_score", "sha256", "n_chars"]
+        gathered = {c: r.column_of(docs, c) for c in cols if c in r.columns}
+        if verbose:
+            gathered["dl"] = r.dl_of(docs)
         out = []
-        for rank, (d, s) in enumerate(zip(docs.tolist(), scores.tolist()), 1):
-            row = {"rank": rank, "doc_id": d, "score": s}
-            for col in cols:
-                if col in r.columns:
-                    row[col] = r.column_of(np.array([d]), col)[0]
-            if verbose:
-                row["dl"] = int(r.dl_of(np.array([d]))[0])
+        for i, (d, s) in enumerate(zip(docs.tolist(), scores.tolist())):
+            row = {"rank": i + 1, "doc_id": d, "score": s}
+            for col, vals in gathered.items():
+                v = vals[i]
+                row[col] = int(v) if col == "dl" else v
             out.append(row)
         return out
 
