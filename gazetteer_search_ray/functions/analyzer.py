@@ -78,6 +78,10 @@ class AnalyzerConfig:
     stop_terms: frozenset[str] = frozenset()
     # multi-hop synonym chains a=b=c (reference A2 synonims/*.syn)
     synonyms: tuple[tuple[str, str], ...] = ()
+    # replacer rule files (reference M6/M7/M9 — pattern=>template rules,
+    # @include tree, charmap transliteration; see functions/replacers.py);
+    # paths resolve against the stock config/ dir
+    replacer_files: tuple[str, ...] = ()
 
     @staticmethod
     def from_dict(d: dict) -> "AnalyzerConfig":
@@ -95,12 +99,28 @@ class AnalyzerConfig:
             ascii_only=d["ascii_only"],
             stop_terms=frozenset(d["stop_terms"]),
             synonyms=tuple(tuple(x) for x in d["synonyms"]),
+            replacer_files=tuple(d.get("replacer_files", ())),
         )
 
     @staticmethod
     def simple() -> "AnalyzerConfig":
         """SQL-expressible config used by the DuckDB oracle."""
         return AnalyzerConfig()
+
+    @staticmethod
+    def gazetteer() -> "AnalyzerConfig":
+        """Gazetteer-style chain with the data-driven replacer packs
+        (transliteration, housenumber variants, abbreviations) — the
+        closest analog of the reference's full IndexAnalyzer chain."""
+        return AnalyzerConfig(
+            fold_diacritics=True,
+            char_replaces=(("ё", "е"), ("ß", "ss")),
+            min_required_len=3,
+            bracket_optional=True,
+            ascii_only=False,
+            optional_terms=frozenset({"the", "a", "an", "of"}),
+            replacer_files=("replacers/index.rules",),
+        )
 
     @staticmethod
     def code() -> "AnalyzerConfig":
@@ -132,6 +152,12 @@ class Analyzer:
         self._split_re = re.compile(c.split_pattern)
         self._char_map = str.maketrans({src: dst for src, dst in c.char_replaces})
         self._syn = dict(c.synonyms)
+        if c.replacer_files:
+            from .replacers import ReplacerSet
+
+            self._replacers = ReplacerSet.load(c.replacer_files)
+        else:
+            self._replacers = None
 
     # -- helpers ---------------------------------------------------------
 
@@ -192,6 +218,16 @@ class Analyzer:
                     )
                 )
                 out.append((tok, optional))
+                if self._replacers is not None:
+                    # replacer variants append right after the original
+                    # (reference IndexAnalyzer.java:99-100); multi-word
+                    # templates split into separate tokens
+                    for variant in self._replacers.expand(tok):
+                        for v in variant.split():
+                            if v and v not in c.stop_terms:
+                                out.append(
+                                    (v, optional or v in c.optional_terms)
+                                )
 
         # Position-aware single pass; offsets are needed for bracket spans.
         # The default separator class (complement of [0-9a-z]) gets a fast

@@ -186,6 +186,14 @@ class TokenizeStage:
             if not tok or tok in c.stop_terms:
                 continue
             out.append(tok)
+            if self.analyzer._replacers is not None:
+                # replacer variants follow the original token (reference
+                # IndexAnalyzer.java:99-100); multi-word templates split
+                for variant in self.analyzer._replacers.expand(tok):
+                    out.extend(
+                        v for v in variant.split()
+                        if v and v not in c.stop_terms
+                    )
         return out
 
     def _tokenize_vectorized(self, content):
