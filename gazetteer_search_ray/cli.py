@@ -86,6 +86,13 @@ def cmd_geocode_csv(args):
     print(json.dumps(summary))
 
 
+def cmd_serve(args):
+    from .server import serve
+
+    serve(args.index, port=args.port, pool_size=args.pool_size,
+          use_prior=args.prior)
+
+
 def cmd_backfill_ref_count(args):
     import ray.data as rd
 
@@ -134,6 +141,13 @@ def main(argv=None):
     pg.add_argument("--out", default=None)
     pg.add_argument("--k", type=int, default=10)
     pg.set_defaults(fn=cmd_geocode_csv)
+
+    pv = sub.add_parser("serve")
+    pv.add_argument("--index", required=True)
+    pv.add_argument("--port", type=int, default=8080)
+    pv.add_argument("--pool-size", type=int, default=4)
+    pv.add_argument("--prior", action="store_true")
+    pv.set_defaults(fn=cmd_serve)
 
     pb = sub.add_parser("backfill-ref-count")
     pb.add_argument("--index", required=True)
