@@ -251,6 +251,17 @@ def q_bm25_coalesce(sf_dir):
     return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
 
 
+def q_bm25_sort2(sf_dir):
+    """Q15 secondary-sort analog (reference geoDistanceSort("centroid"),
+    ``api/search/ESCoalesce.java:50``): top-20 by (score desc,
+    n_chars asc, doc_id asc)."""
+    s = get_searcher(sf_dir)
+    docs, scores = s.engine.top_k_sorted(
+        Bool(should=tuple(Term(t) for t in OR3)), 20, secondary_col="n_chars"
+    )
+    return _topk_frame(docs, scores)
+
+
 def q_topk_paged(sf_dir):
     """from/size paging (Q15): page 2 of the OR query (offset 10, size 10)."""
     s = get_searcher(sf_dir)
@@ -331,6 +342,12 @@ SELECT doc_id, round(score, 6) AS score FROM sc ORDER BY sc.score DESC, doc_id L
         f"WITH {BM25_CTE}, {_bm25_score_sql(OR3)} "
         f"SELECT doc_id, round(score, 6) AS score FROM sc "
         f"ORDER BY sc.score DESC, doc_id LIMIT 10 OFFSET 10"
+    ),
+    "bm25_sort2": (
+        f"WITH {BM25_CTE}, {_bm25_score_sql(OR3)} "
+        f"SELECT sc.doc_id, round(sc.score, 6) AS score FROM sc "
+        f"JOIN documents d ON d.doc_id = sc.doc_id "
+        f"ORDER BY sc.score DESC, d.n_chars, sc.doc_id LIMIT 20"
     ),
 }
 
@@ -648,6 +665,7 @@ def all_queries() -> dict:
         "bm25_prior": q_bm25_prior,
         "prefix_docs": q_prefix_docs,
         "bm25_coalesce": q_bm25_coalesce,
+        "bm25_sort2": q_bm25_sort2,
         "topk_paged": q_topk_paged,
         "distinct_first": q_distinct_first,
         "join_agg": q_join_agg,

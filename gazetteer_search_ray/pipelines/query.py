@@ -362,21 +362,79 @@ class QueryEngine:
 
         return docs, scores * node.boost
 
+    # -- matched-part attribution (reference `_name` tags) ----------------
+
+    def named_parts(self, node) -> list[tuple[str, object]]:
+        """All named sub-plans, in plan order (reference: ``_name`` tags
+        on query parts, ``builders/BooleanPart.java:8-103`` — they drive
+        ``matched_queries`` in hits, ``api/ResultsWrapper.java:27-40``,
+        and the Q16 trim)."""
+        out: list[tuple[str, object]] = []
+
+        def walk(n):
+            if isinstance(n, Bool):
+                if n.name:
+                    out.append((n.name, n))
+                for group in (n.must, n.should, n.must_not, n.filter):
+                    for c in group:
+                        walk(c)
+            elif isinstance(n, DisMax):
+                for c in n.children:
+                    walk(c)
+            elif isinstance(n, (ConstantScore, FunctionScore)):
+                walk(n.child)
+
+        walk(node)
+        return out
+
+    def matched_queries(self, node, docs: np.ndarray) -> list[list[str]]:
+        """Per-doc list of named-part names the doc matches — the
+        engine-level ``matched_queries`` bookkeeping."""
+        names = self.named_parts(node)
+        flags = []
+        for name, part in names:
+            pd_, _ = self.evaluate(part)
+            flags.append((name, _in_sorted(docs, pd_)))
+        return [
+            [name for name, m in flags if m[i]] for i in range(docs.size)
+        ]
+
     # -- top-k -----------------------------------------------------------
 
-    @staticmethod
-    def _topk(docs: np.ndarray, scores: np.ndarray, k: int):
-        """(score desc, doc_id asc) tie-break, vectorized."""
+    def _topk(self, docs: np.ndarray, scores: np.ndarray, k: int,
+              secondary: np.ndarray | None = None):
+        """(score desc[, secondary asc], doc_id asc) tie-break,
+        vectorized.  ``secondary`` (aligned with docs) is the analog of
+        the reference's secondary geo-distance sort
+        (``api/search/ESCoalesce.java:50``)."""
         if docs.size == 0:
             return docs, scores
         if docs.size > k:
-            # keep every doc tied with the kth score so doc_id tie-break
-            # is applied over the full tie group (rank-identity)
+            # keep every doc tied with the kth score so the tie-break
+            # keys are applied over the full tie group (rank-identity)
             kth = -np.partition(-scores, k - 1)[k - 1]
             mask = scores >= kth
             docs, scores = docs[mask], scores[mask]
-        order = np.lexsort((docs, -scores))[:k]
+            if secondary is not None:
+                secondary = secondary[mask]
+        keys = (docs, -scores) if secondary is None else (docs, secondary, -scores)
+        order = np.lexsort(keys)[:k]
         return docs[order], scores[order]
+
+    def top_k_sorted(self, node, k: int = 20, secondary_col: str | None = None):
+        """Top-k with a secondary doc-store sort key (score desc,
+        column asc, doc_id asc) — Q15's geoDistanceSort analog."""
+        if secondary_col is None:
+            return self.top_k(node, k)
+        full_docs, full_scores = self.evaluate(node)
+        if full_docs.size == 0:
+            return full_docs, full_scores
+        sec_all = (
+            self.reader.dl_of(full_docs)
+            if secondary_col == "dl"
+            else self.reader.column_of(full_docs, secondary_col)
+        ).astype(np.float64)
+        return self._topk(full_docs, full_scores, k, secondary=sec_all)
 
     def top_k(self, node, k: int = 20) -> tuple[np.ndarray, np.ndarray]:
         if (

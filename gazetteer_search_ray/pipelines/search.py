@@ -140,6 +140,7 @@ class Searcher:
         use_prior: bool = True,
         trim: bool = False,
         verbose: bool = False,
+        with_matched: bool = False,
     ) -> list[dict]:
         pq = analyze_query(q, self.reader.analyzer, prefix)
         variants = build_cascade(pq, filters, use_prior)
@@ -156,9 +157,31 @@ class Searcher:
                 break
         if docs is None or docs.size == 0:
             return []
+        matched = None
+        if trim or with_matched:
+            matched = self._matched_parts(pq, docs)
         if trim:
-            docs, scores = self._trim(docs, scores, pq)
-        return self.project(docs, scores, verbose)
+            docs, scores, matched = self._trim(docs, scores, matched, pq)
+        return self.project(docs, scores, verbose,
+                            matched=matched if with_matched else None)
+
+    def _matched_parts(self, pq: ParsedQuery, docs: np.ndarray) -> list[list[str]]:
+        """Per-hit ``matched_queries`` (reference ``_name`` tags on query
+        parts → ``api/ResultsWrapper.java:27-40``): which named token
+        classes — required / optional / prefix — each hit matched."""
+        parts = []
+        core = pq.required + pq.numbers
+        if core:
+            parts.append(Bool(should=tuple(Term(t) for t in core),
+                              minimum_should_match=1, name="required"))
+        if pq.optional:
+            parts.append(Bool(should=tuple(Term(t) for t in pq.optional),
+                              minimum_should_match=1, name="optional"))
+        if pq.prefix:
+            parts.append(Bool(should=(Prefix(pq.prefix),), name="prefix"))
+        if not parts:
+            return [[] for _ in range(docs.size)]
+        return self.engine.matched_queries(Bool(should=tuple(parts)), docs)
 
     def _with_aux_boost(self, plan, pq: ParsedQuery):
         """Wrap a cascade variant with secondary-lookup boosts (Q12)."""
@@ -176,28 +199,25 @@ class Searcher:
             return plan
         return Bool(must=(plan,), should=tuple(boosts))
 
-    def _trim(self, docs: np.ndarray, scores: np.ndarray, pq: ParsedQuery):
+    def _trim(self, docs: np.ndarray, scores: np.ndarray,
+              matched: list[list[str]], pq: ParsedQuery):
         """Result-list trim (Q16, ``ESDefaultSearch.java:281-313``): the
         reference walks the ranked hits and cuts the list at the first
-        hit whose matched parts show it only matched the weaker query
-        branches.  Single-field analog: cut at the first hit matching
-        NONE of the required terms (optional/prefix matches only)."""
-        from .query import Term
-
+        hit whose ``matched_queries`` show it only matched the weaker
+        query branches.  Single-field analog: cut at the first hit whose
+        matched parts lack "required" (optional/prefix matches only)."""
         if not pq.required and not pq.numbers:
-            return docs, scores
-        core = pq.required + pq.numbers
-        matched = np.zeros(docs.size, dtype=bool)
-        for t in core:
-            td, _ = self.engine.eval_term(Term(t))
-            if td.size:
-                idx = np.minimum(np.searchsorted(td, docs), td.size - 1)
-                matched |= td[idx] == docs
-        cut = int(np.argmin(matched)) if not matched.all() else docs.size
-        return docs[:cut], scores[:cut]
+            return docs, scores, matched
+        cut = docs.size
+        for i, m in enumerate(matched):
+            if "required" not in m:
+                cut = i
+                break
+        return docs[:cut], scores[:cut], matched[:cut]
 
     def project(self, docs: np.ndarray, scores: np.ndarray,
-                verbose: bool = False) -> list[dict]:
+                verbose: bool = False,
+                matched: list[list[str]] | None = None) -> list[dict]:
         """Hit projection from the doc store (Q17: base + verbose field
         sets, ``ESDefaultSearch.java:39-41,168-177``).  One vectorized
         gather per column — not one per hit."""
@@ -214,6 +234,8 @@ class Searcher:
             for col, vals in gathered.items():
                 v = vals[i]
                 row[col] = int(v) if col == "dl" else v
+            if matched is not None:
+                row["matched_queries"] = matched[i]
             out.append(row)
         return out
 

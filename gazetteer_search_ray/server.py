@@ -125,6 +125,7 @@ class SearchHTTPServer:
         coalesce = _flag(qs, "coallesce", True)
         verbose = _flag(qs, "verbose")
         trim = _flag(qs, "trim")
+        with_matched = _flag(qs, "matched")
         use_prior = _flag(qs, "prior", self.default_use_prior)
         filters = {}
         for col in ("lang", "repo"):
@@ -134,7 +135,7 @@ class SearchHTTPServer:
         # from/size: evaluate (page+1)*size then slice (Q15 paging,
         # ESCoalesce.java:46-51)
         k = (page + 1) * size
-        if self._svc is not None:
+        if self._svc is not None and not (with_matched or trim or verbose):
             rows = self._svc.replay(
                 [
                     {
@@ -146,10 +147,14 @@ class SearchHTTPServer:
             )
             hits = rows[0]["hits"] if rows else []
         else:
+            if self._searcher is None:
+                from .pipelines.search import Searcher
+
+                self._searcher = Searcher(self.index_dir)
             hits = self._searcher.search(
                 q, k=k, prefix=prefix, filters=filters or None,
                 coalesce=coalesce, use_prior=use_prior, trim=trim,
-                verbose=verbose,
+                verbose=verbose, with_matched=with_matched,
             )
         hits = hits[page * size : (page + 1) * size]
         return {

@@ -80,6 +80,55 @@ def test_trim_cuts_optional_only_hits(searcher):
         assert h["doc_id"] in set(docs.tolist())
 
 
+def test_matched_queries_attribution(searcher):
+    """Named-part bookkeeping (reference `_name` tags →
+    ResultsWrapper.matched_queries; drives the Q16 trim)."""
+    hits = searcher.search("qwyzzle the", k=20, use_prior=False,
+                           with_matched=True)
+    assert hits
+    tp = searcher.reader.posting("qwyzzle")
+    req_docs = set(searcher.reader.decode_all(tp)[0].tolist())
+    for h in hits:
+        assert "matched_queries" in h
+        if h["doc_id"] in req_docs:
+            assert "required" in h["matched_queries"]
+        else:
+            assert "required" not in h["matched_queries"]
+
+
+def test_engine_matched_queries_named_plan(searcher):
+    from gazetteer_search_ray.pipelines.query import Bool, Term
+
+    eng = searcher.engine
+    plan = Bool(
+        should=(
+            Bool(should=(Term("def"),), name="has_def"),
+            Bool(should=(Term("qwyzzle"),), name="has_rare"),
+        )
+    )
+    docs, _ = eng.top_k(plan, 10)
+    names = eng.matched_queries(plan, docs)
+    rare_docs = set(searcher.reader.decode_all(
+        searcher.reader.posting("qwyzzle"))[0].tolist())
+    for d, m in zip(docs.tolist(), names):
+        assert ("has_rare" in m) == (d in rare_docs)
+        assert m  # every hit matched at least one named part
+
+
+def test_secondary_sort_key(searcher):
+    """Q15 secondary sort: ties broken by dl asc (geo-distance analog)."""
+    from gazetteer_search_ray.pipelines.query import Bool, Prefix
+
+    # constant-score prefix → all scores tie → order must follow dl
+    plan = Bool(should=(Prefix("de"),))
+    docs, scores = searcher.engine.top_k_sorted(plan, 15, secondary_col="dl")
+    dls = searcher.reader.column_of(docs, "dl") if "dl" in searcher.reader.columns \
+        else searcher.reader.dl_of(docs)
+    for i in range(1, len(docs)):
+        if scores[i - 1] == scores[i]:
+            assert dls[i - 1] <= dls[i]
+
+
 def test_verbose_projection(searcher):
     hits = searcher.search("qwyzzle", k=3, use_prior=False, verbose=True)
     h = hits[0]

@@ -109,6 +109,12 @@ def test_verbose_projection(server):
     assert "dl" in row and "sha256" in row
 
 
+def test_matched_queries_over_http(server):
+    r = _get(server, "/location/_search", q="portland oak", matched="true")
+    assert all("matched_queries" in row for row in r["rows"])
+    assert "required" in r["rows"][0]["matched_queries"]
+
+
 def test_missing_q_is_400(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(server, "/location/_search", page=0)
