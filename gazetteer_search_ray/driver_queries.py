@@ -687,6 +687,7 @@ def all_queries() -> dict:
         "fingerprint": q_fingerprint,
         "bm25_fuzzy": q_bm25_fuzzy,
         "bm25_range": q_bm25_range,
+        "bm25_box": q_bm25_box,
         "mass_eval": q_mass_eval,
         "events_window": q_events_window,
         "events_sessions": q_events_sessions,
@@ -734,6 +735,29 @@ def q_bm25_range(sf_dir):
     )
 
 
+BOX_X = (80, 200)   # n_chars
+BOX_Y = (100, 400)  # doc_id
+
+
+def q_bm25_box(sf_dir):
+    """Q13 geo_bounding_box analog (``ESDefaultSearch.java:213``): a 2-D
+    numeric box filter — two ANDed range predicates — under a scored
+    disjunction (runs through the filtered MaxScore fast path)."""
+    from .pipelines.query import RangeFilter
+
+    return _topk(
+        sf_dir,
+        Bool(
+            should=(Term("sort"), Term("merge"), Term(HOT)),
+            minimum_should_match=1,
+            filter=(
+                RangeFilter("n_chars", *BOX_X),
+                RangeFilter("doc_id", *BOX_Y),
+            ),
+        ),
+    )
+
+
 def q_mass_eval(sf_dir):
     """G5 mass-geocode evaluation (self-consistency run; rows-only)."""
     import ray.data as rd
@@ -770,6 +794,14 @@ FUZZY_RANGE_SQL = {
         f"SELECT sc.doc_id, round(sc.score, 6) AS score FROM sc "
         f"JOIN documents d ON d.doc_id = sc.doc_id "
         f"WHERE d.n_chars BETWEEN {RANGE_LO} AND {RANGE_HI} "
+        f"ORDER BY sc.score DESC, sc.doc_id LIMIT 20"
+    ),
+    "bm25_box": (
+        f"WITH {BM25_CTE}, {_bm25_score_sql(['sort', 'merge', HOT])} "
+        f"SELECT sc.doc_id, round(sc.score, 6) AS score FROM sc "
+        f"JOIN documents d ON d.doc_id = sc.doc_id "
+        f"WHERE d.n_chars BETWEEN {BOX_X[0]} AND {BOX_X[1]} "
+        f"AND d.doc_id BETWEEN {BOX_Y[0]} AND {BOX_Y[1]} "
         f"ORDER BY sc.score DESC, sc.doc_id LIMIT 20"
     ),
 }

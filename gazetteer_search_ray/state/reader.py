@@ -135,7 +135,12 @@ class IndexReader:
 
     def docs_in_range(self, col: str, lo: float, hi: float) -> np.ndarray:
         """Sorted doc_ids with lo ≤ column ≤ hi (numeric range leaf)."""
-        vals = self.dl if col == "dl" else self.columns[col].astype(np.float64)
+        if col == "doc_id":
+            vals = self.doc_ids
+        elif col == "dl":
+            vals = self.dl
+        else:
+            vals = self.columns[col].astype(np.float64)
         mask = (vals >= lo) & (vals <= hi)
         return self.doc_ids[mask]
 
