@@ -1,13 +1,18 @@
-"""Multimodal column plumbing: binary payloads + typed metadata.
+"""Multimodal columns: binary payloads + typed metadata, with REAL
+decode kernels for the formats decodable without external libraries.
 
 Image/audio/video travel as opaque ``binary`` columns with a metadata
 struct; decode / feature-extract / resize / frame-sample are actor-pool
-``map_batches`` stages.  The decode kernels themselves are STUBBED (the
-image/audio libraries are not in this container): ``DecodeImage`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake decoder (seeded by the payload hash) exercises the
-real Ray plumbing — schema, batch sizing, actor signature, output
-layout — end to end.
+``map_batches`` stages:
+
+* **PPM (P6)** and **uncompressed 24-bit BMP** decode in pure numpy;
+* **WAV (PCM16)** decodes with the stdlib ``wave`` module;
+* JPEG/PNG/MP3/H264 genuinely need external codecs absent from this
+  container — those formats raise ``NotImplementedError`` (clearly
+  marked), and ``fake=True`` substitutes a deterministic payload-hash
+  feature so downstream plumbing stays testable for any format;
+* "video" is a concatenation of same-header PPM frames; the sampler
+  splits on the frame boundaries and emits every ``stride``-th frame.
 
 Batch-size note: binary payloads dominate block size; callers should
 pass a small ``batch_size`` (e.g. 32–128) and, for very large payloads,
@@ -18,6 +23,9 @@ absurdly small (ray_guide 'Memory pressure').
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 
 import numpy as np
 import pyarrow as pa
@@ -27,8 +35,171 @@ IMAGE_META_TYPE = pa.struct(
 )
 
 
+# ---------------------------------------------------------------------------
+# codecs (pure numpy / stdlib — no external image/audio libraries)
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → binary PPM (P6)."""
+    h, w, c = img.shape
+    assert c == 3
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (H, W, 3) uint8; pure numpy."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval separated by whitespace
+    parts, pos = [], 2
+    while len(parts) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        parts.append(int(payload[start:pos]))
+    w, h, maxval = parts
+    pos += 1  # single whitespace after maxval
+    if maxval != 255:
+        raise ValueError("only maxval=255 supported")
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return data.reshape(h, w, 3).copy()
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → uncompressed 24-bit BMP (BI_RGB)."""
+    h, w, _ = img.shape
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    body = bytearray()
+    bgr = img[:, :, ::-1]  # BMP stores BGR, bottom-up
+    for r in range(h - 1, -1, -1):
+        body += bgr[r].tobytes() + b"\x00" * pad
+    pixel_off = 14 + 40
+    size = pixel_off + len(body)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, pixel_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + dib + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP → (H, W, 3) uint8 RGB; pure numpy."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    dib_size = struct.unpack_from("<I", payload, 14)[0]
+    if dib_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    flip = h > 0
+    h = abs(h)
+    row = w * 3
+    stride = (row + 3) & ~3
+    data = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=pixel_off)
+    rows = data.reshape(h, stride)[:, :row].reshape(h, w, 3)
+    if flip:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 mono samples → WAV bytes (stdlib ``wave``)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → (float64 samples in [-1, 1], sample_rate)."""
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        if f.getsampwidth() != 2:
+            raise NotImplementedError("only PCM16 WAV supported")
+        raw = f.readframes(f.getnframes())
+        rate = f.getframerate()
+        nch = f.getnchannels()
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, rate
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy gather."""
+    h, w = img.shape[:2]
+    ri = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    ci = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ri][:, ci]
+
+
+def image_features(img: np.ndarray, hist_bins: int = 8) -> np.ndarray:
+    """Deterministic real features: shape, per-channel mean/std, and a
+    grayscale histogram — the feature-extraction stage's kernel."""
+    f = [float(img.shape[0]), float(img.shape[1])]
+    x = img.astype(np.float64)
+    f += x.mean(axis=(0, 1)).tolist() + x.std(axis=(0, 1)).tolist()
+    gray = x.mean(axis=2)
+    hist, _ = np.histogram(gray, bins=hist_bins, range=(0, 255))
+    f += (hist / max(gray.size, 1)).tolist()
+    return np.array(f)
+
+
+def audio_features(x: np.ndarray, rate: int, bands: int = 4) -> np.ndarray:
+    """duration, rms, zero-crossing rate, normalized FFT band energies."""
+    dur = x.size / rate if rate else 0.0
+    rms = float(np.sqrt((x**2).mean())) if x.size else 0.0
+    zcr = float((np.diff(np.signbit(x)) != 0).mean()) if x.size > 1 else 0.0
+    out = [dur, rms, zcr]
+    if x.size:
+        spec = np.abs(np.fft.rfft(x)) ** 2
+        chunks = np.array_split(spec, bands)
+        tot = spec.sum() or 1.0
+        out += [float(c.sum() / tot) for c in chunks]
+    else:
+        out += [0.0] * bands
+    return np.array(out)
+
+
+# ---------------------------------------------------------------------------
+# synthetic corpora (deterministic; real encoded payloads)
+# ---------------------------------------------------------------------------
+
+
+def make_media_table(n: int = 16, seed: int = 42, fmt: str = "ppm") -> pa.Table:
+    """Deterministic image corpus with REAL ppm/bmp payloads."""
+    rng = np.random.default_rng(seed)
+    ids, payloads, meta = [], [], []
+    enc = {"ppm": encode_ppm, "bmp": encode_bmp}[fmt]
+    for i in range(n):
+        h = int(rng.integers(4, 32))
+        w = int(rng.integers(4, 32))
+        img = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        ids.append(i)
+        payloads.append(enc(img))
+        meta.append({"width": w, "height": h, "format": fmt})
+    return pa.table(
+        {
+            "item_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta": pa.array(meta, IMAGE_META_TYPE),
+        }
+    )
+
+
 def make_fake_image_table(n: int = 16, seed: int = 42) -> pa.Table:
-    """Deterministic fake 'image' corpus for plumbing tests."""
+    """Opaque-payload corpus (undecodable format) for the fake path."""
     rng = np.random.default_rng(seed)
     payloads = [rng.integers(0, 256, size=int(rng.integers(64, 256))).astype(np.uint8).tobytes() for _ in range(n)]
     meta = [
@@ -44,13 +215,59 @@ def make_fake_image_table(n: int = 16, seed: int = 42) -> pa.Table:
     )
 
 
-class DecodeImage:
-    """Actor-pool decode stage: binary payload → float feature vector.
+def make_audio_table(n: int = 8, seed: int = 42, rate: int = 8000) -> pa.Table:
+    """Deterministic WAV corpus (real PCM16 payloads)."""
+    rng = np.random.default_rng(seed)
+    ids, payloads, meta = [], [], []
+    for i in range(n):
+        dur = float(rng.uniform(0.05, 0.3))
+        t = np.arange(int(dur * rate)) / rate
+        freq = float(rng.uniform(100, 1000))
+        x = (0.5 * np.sin(2 * np.pi * freq * t) * 32767).astype(np.int16)
+        ids.append(i)
+        payloads.append(encode_wav(x, rate))
+        meta.append({"width": 0, "height": 0, "format": "wav"})
+    return pa.table(
+        {
+            "item_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta": pa.array(meta, IMAGE_META_TYPE),
+        }
+    )
 
-    Real decoders (PIL/cv2) plug in by overriding ``_decode``; without
-    them, ``fake=True`` produces a deterministic feature vector seeded
-    by sha256(payload) so downstream stages (resize, embed, dedup) are
-    testable.
+
+def make_video_table(n: int = 4, frames: int = 12, seed: int = 42) -> pa.Table:
+    """'Video' corpus: same-size PPM frames concatenated per item."""
+    rng = np.random.default_rng(seed)
+    ids, payloads = [], []
+    for i in range(n):
+        h, w = int(rng.integers(4, 16)), int(rng.integers(4, 16))
+        clip = b"".join(
+            encode_ppm(rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8))
+            for _ in range(frames)
+        )
+        ids.append(i)
+        payloads.append(clip)
+    return pa.table(
+        {
+            "item_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# actor-pool stages
+# ---------------------------------------------------------------------------
+
+
+class DecodeImage:
+    """Actor-pool decode stage: binary payload → real feature vector.
+
+    ppm/bmp decode natively (pure numpy); other formats raise
+    ``NotImplementedError`` (JPEG/PNG need codecs absent from this
+    container) unless ``fake=True``, which substitutes a deterministic
+    payload-hash feature so downstream plumbing stays testable.
     """
 
     def __init__(self, fake: bool = False, feature_dim: int = 16):
@@ -58,10 +275,16 @@ class DecodeImage:
         self.feature_dim = feature_dim
 
     def _decode(self, payload: bytes, meta: dict) -> np.ndarray:
+        fmt = (meta or {}).get("format", "")
+        if fmt == "ppm" or payload[:2] == b"P6":
+            return image_features(decode_ppm(payload))
+        if fmt == "bmp" or payload[:2] == b"BM":
+            return image_features(decode_bmp(payload))
         if not self.fake:
             raise NotImplementedError(
-                "image decode requires PIL/cv2 (not in this container); "
-                "pass fake=True for the deterministic stub"
+                f"decode for format {fmt!r} requires external codecs "
+                "(not in this container); pass fake=True for the "
+                "deterministic stub"
             )
         seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
         rng = np.random.default_rng(seed)
@@ -92,9 +315,84 @@ def decode_images(ds, fake: bool = False, feature_dim: int = 16,
     )
 
 
+class ResizeImage:
+    """Actor-pool resize stage: decodes ppm/bmp, nearest-neighbor
+    resizes to (out_h, out_w), re-encodes as ppm."""
+
+    def __init__(self, out_h: int = 16, out_w: int = 16):
+        self.out_h = out_h
+        self.out_w = out_w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for p in batch["payload"].to_pylist():
+            img = decode_ppm(p) if p[:2] == b"P6" else decode_bmp(p)
+            out.append(encode_ppm(resize_nearest(img, self.out_h, self.out_w)))
+        meta = pa.array(
+            [{"width": self.out_w, "height": self.out_h, "format": "ppm"}]
+            * batch.num_rows,
+            IMAGE_META_TYPE,
+        )
+        return pa.table(
+            {
+                "item_id": batch["item_id"],
+                "payload": pa.array(out, pa.binary()),
+                "meta": meta,
+            }
+        )
+
+
+def resize_images(ds, out_h: int = 16, out_w: int = 16, batch_size: int = 64,
+                  concurrency: int = 2):
+    return ds.map_batches(
+        ResizeImage,
+        fn_constructor_kwargs=dict(out_h=out_h, out_w=out_w),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class DecodeAudio:
+    """Actor-pool audio stage: WAV payload → real feature vector."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for p in batch["payload"].to_pylist():
+            x, rate = decode_wav(p)
+            feats.append(audio_features(x, rate))
+        return pa.table(
+            {
+                "item_id": batch["item_id"],
+                "feature": pa.array([f.tolist() for f in feats], pa.list_(pa.float64())),
+            }
+        )
+
+
+def decode_audio(ds, batch_size: int = 64, concurrency: int = 2):
+    return ds.map_batches(
+        DecodeAudio, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def split_ppm_frames(payload: bytes) -> list[bytes]:
+    """Split a concatenated-PPM 'video' payload on frame magics."""
+    offs = []
+    pos = 0
+    while True:
+        j = payload.find(b"P6\n", pos)
+        if j < 0:
+            break
+        offs.append(j)
+        pos = j + 3
+    offs.append(len(payload))
+    return [payload[offs[i]: offs[i + 1]] for i in range(len(offs) - 1)]
+
+
 class FrameSampler:
-    """Video analog: sample every ``stride``-th chunk of the payload
-    (stub for frame extraction; deterministic)."""
+    """Video frame sampling: split the clip into PPM frames (or fixed
+    chunks for opaque payloads) and keep every ``stride``-th."""
 
     def __init__(self, stride: int = 4, chunk: int = 16):
         self.stride = stride
@@ -103,7 +401,10 @@ class FrameSampler:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, frames, idxs = [], [], []
         for i, p in zip(batch["item_id"].to_pylist(), batch["payload"].to_pylist()):
-            chunks = [p[o : o + self.chunk] for o in range(0, len(p), self.chunk)]
+            if p[:3] == b"P6\n":
+                chunks = split_ppm_frames(p)
+            else:
+                chunks = [p[o : o + self.chunk] for o in range(0, len(p), self.chunk)]
             for j, c in enumerate(chunks[:: self.stride]):
                 ids.append(i)
                 idxs.append(j)
