@@ -443,6 +443,20 @@ def q_dedup_exact(sf_dir):
     return out[["doc_id", "dup_count"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def q_dedup_drop(sf_dir):
+    """Corpus after exact dedup: keeper rows only (training-data
+    pipeline consumer of dedup_exact)."""
+    from .pipelines.dedup import drop_exact_duplicates
+
+    out = (
+        drop_exact_duplicates(_docs(sf_dir).select_columns(["doc_id", "text", "lang"]))
+        .select_columns(["doc_id", "lang"])
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)[["doc_id", "lang"]]
+
+
 def q_dedup_minhash(sf_dir):
     from .pipelines.dedup import minhash_lsh_pairs
 
@@ -611,6 +625,10 @@ EXTRA_SQL = {
         "SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS dup_count "
         "FROM documents GROUP BY text ORDER BY doc_id"
     ),
+    "dedup_drop": (
+        "SELECT doc_id, lang FROM documents WHERE doc_id IN "
+        "(SELECT min(doc_id) FROM documents GROUP BY text) ORDER BY doc_id"
+    ),
     "ann_topk": (
         "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0,1,2)), "
         "sims AS (SELECT q.qid, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS cosine "
@@ -673,6 +691,7 @@ def all_queries() -> dict:
         "delete_by_query": q_delete_by_query,
         "paged_scroll": q_paged_scroll,
         "dedup_exact": q_dedup_exact,
+        "dedup_drop": q_dedup_drop,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram": q_dedup_ngram,

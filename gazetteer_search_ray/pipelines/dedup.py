@@ -74,6 +74,51 @@ def dedup_exact(ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def drop_exact_duplicates(ds, text_col: str = "text", id_col: str = "doc_id",
+                          broadcast_limit: int = 50_000_000):
+    """The corpus after exact dedup: only the keeper (min id) row of
+    each distinct content hash survives.
+
+    Keeper ids come from :func:`dedup_exact` (hash-only shuffle).  Under
+    ``broadcast_limit`` keepers the id set broadcasts (8 B/doc) and the
+    corpus filters itself in one streaming pass; above it, a hash-shuffle
+    ``Dataset.join`` semi-join keeps everything distributed.
+    """
+    import ray
+
+    keepers = dedup_exact(ds, text_col, id_col).select_columns([id_col])
+    keepers = keepers.materialize()
+    if keepers.count() <= broadcast_limit:
+        ids = np.sort(
+            np.concatenate(
+                [t[id_col].to_numpy() for t in ray.get(keepers.to_arrow_refs())]
+                or [np.empty(0, np.int64)]
+            )
+        ).astype(np.int64)
+        ref = ray.put(ids)
+
+        def keep(t: pa.Table) -> pa.Table:
+            wanted = ray.get(ref)
+            dv = t[id_col].to_numpy()
+            if wanted.size == 0:
+                return t.slice(0, 0)
+            idx = np.minimum(np.searchsorted(wanted, dv), wanted.size - 1)
+            return t.filter(pa.array(wanted[idx] == dv))
+
+        return ds.map_batches(keep, batch_format="pyarrow")
+
+    jk = id_col + "__keep"
+    keyed = keepers.map_batches(
+        lambda t: t.rename_columns([jk]), batch_format="pyarrow"
+    )
+    joined = ds.join(keyed, join_type="inner", num_partitions=32,
+                     on=(id_col,), right_on=(jk,))
+    return joined.map_batches(
+        lambda t: t.drop_columns([jk]) if jk in t.column_names else t,
+        batch_format="pyarrow",
+    )
+
+
 class MinHasher:
     """Per-batch MinHash signatures (actor state: permutation params)."""
 
