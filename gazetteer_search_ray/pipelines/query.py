@@ -209,6 +209,9 @@ class QueryEngine:
         self._term_eval_cache: dict[tuple[str, float], tuple] = {}
         self._filter_cache: dict[tuple, np.ndarray] = {}
         self._ub_cache: dict[str, float] = {}
+        self._pos_cache: dict[str, np.ndarray] = {}
+        # reusable dense accumulator (one per engine ≙ per actor)
+        self._acc: np.ndarray | None = None
 
     # -- term scoring ----------------------------------------------------
 
@@ -297,7 +300,136 @@ class QueryEngine:
         u = np.unique(np.concatenate(doc_sets))
         return u, np.full(u.size, float(node.boost))
 
+    # -- dense boolean evaluation (hot-term fast path) -------------------
+
+    def _positions_for(self, child, docs: np.ndarray) -> np.ndarray:
+        """Doc-store row positions of a child's match docs; cached for
+        Term/Prefix leaves (the recurring cascade children)."""
+        if isinstance(child, Term):
+            return self._term_positions(child.term, docs)
+        if isinstance(child, Prefix):
+            key = "\x00pfx\x00" + child.prefix
+            pos = self._pos_cache.get(key)
+            if pos is None:
+                pos = np.searchsorted(self.reader.doc_ids, docs)
+                if len(self._pos_cache) < 4096:
+                    self._pos_cache[key] = pos
+            return pos
+        return np.searchsorted(self.reader.doc_ids, docs)
+
+    def _bool_mass(self, node: Bool) -> int:
+        """Posting mass of the Term leaves (cheap upper-bound signal
+        for choosing dense vs sorted-merge evaluation)."""
+        mass = 0
+        for child in (*node.must, *node.should):
+            if isinstance(child, Term):
+                tp = self.reader.posting(child.term)
+                if tp is not None:
+                    mass += tp.df
+        return mass
+
+    def _eval_bool_dense(self, node: Bool):
+        """Dense-array boolean evaluation: scores scatter into one
+        accumulator over the doc space, set logic becomes boolean-array
+        ops — no sorts, no searchsorted merges (each leaf's positions
+        are cached).  Exact same results and float summation order as
+        the sorted-merge path (differentially tested); engaged only when
+        the posting mass rivals the doc space, where sorted merges are
+        memory-bandwidth-bound (the round-1 QPS-scaling bottleneck)."""
+        n = self.reader.doc_ids.size
+        # re-entrancy guard: a nested Bool child evaluated below may
+        # itself take the dense path — only the outermost call may use
+        # the shared scratch buffers
+        reentrant = getattr(self, "_acc_busy", False)
+        if reentrant:
+            acc = np.zeros(n, dtype=np.float64)
+        else:
+            if self._acc is None or self._acc.size != n:
+                self._acc = np.zeros(n, dtype=np.float64)
+            acc = self._acc
+            acc.fill(0.0)
+            self._acc_busy = True
+        try:
+            return self._eval_bool_dense_inner(node, acc, n, reentrant)
+        finally:
+            if not reentrant:
+                self._acc_busy = False
+
+    def _eval_bool_dense_inner(self, node: Bool, acc, n: int, reentrant: bool):
+        if node.must:
+            cnt = np.zeros(n, dtype=np.int16)
+            for child in node.must:
+                cd, cs = self.evaluate(child)
+                pos = self._positions_for(child, cd)
+                cnt[pos] += 1
+                acc[pos] += cs
+            mask = cnt == len(node.must)
+        else:
+            mask = None
+
+        for child in node.filter:
+            fd, _ = self.evaluate(child)
+            fmask = np.zeros(n, dtype=bool)
+            fmask[self._positions_for(child, fd)] = True
+            mask = fmask if mask is None else (mask & fmask)
+
+        acc_s = None
+        if node.should:
+            # separate should accumulator so the float sum is
+            # (Σmust) + (Σshould) — bit-identical to the sparse path's
+            # `scores += gather(should_union)` association
+            if node.must:
+                if reentrant:
+                    acc_s = np.zeros(n, dtype=np.float64)
+                else:
+                    if getattr(self, "_acc2", None) is None or self._acc2.size != n:
+                        self._acc2 = np.zeros(n, dtype=np.float64)
+                    acc_s = self._acc2
+                    acc_s.fill(0.0)
+            else:
+                acc_s = acc
+            s_cnt = np.zeros(n, dtype=np.int16) if (
+                node.minimum_should_match > 0 or mask is None
+            ) else None
+            for child in node.should:
+                sd, ss = self.evaluate(child)
+                pos = self._positions_for(child, sd)
+                acc_s[pos] += ss
+                if s_cnt is not None:
+                    s_cnt[pos] += 1
+            if mask is None:
+                eff = max(1, node.minimum_should_match)
+                mask = s_cnt >= eff
+            elif node.minimum_should_match > 0:
+                mask = mask & (s_cnt >= node.minimum_should_match)
+
+        if mask is None:
+            return EMPTY_I, EMPTY_F
+
+        for child in node.must_not:
+            nd, _ = self.evaluate(child)
+            if nd.size:
+                mask[self._positions_for(child, nd)] = False
+
+        hit = np.flatnonzero(mask)
+        scores = acc[hit].copy()
+        if acc_s is not None and acc_s is not acc:
+            scores += acc_s[hit]
+        if node.boost != 1.0:
+            scores *= node.boost
+        return self.reader.doc_ids[hit], scores
+
     def _eval_bool(self, node: Bool):
+        # dense fast path: worthwhile once the leaves' posting mass is a
+        # sizeable fraction of the doc space (hot-term conjunctions /
+        # disjunctions); tiny queries stay on the sorted-merge path
+        n = self.reader.doc_ids.size
+        if (
+            getattr(self, "dense_enabled", True)
+            and 0 < n <= 50_000_000
+            and self._bool_mass(node) * 4 >= n
+        ):
+            return self._eval_bool_dense(node)
         docs: np.ndarray | None = None
         scores: np.ndarray | None = None
         if node.must:
@@ -500,6 +632,42 @@ class QueryEngine:
                 out[hit] += boost * sc
         return out
 
+    def _term_positions(self, term: str, docs: np.ndarray) -> np.ndarray:
+        """Row positions of a term's (sorted) posting docs in the doc
+        store — cached per term, so the dense path pays the searchsorted
+        once per (actor, term), not per query."""
+        pos = self._pos_cache.get(term)
+        if pos is None:
+            pos = np.searchsorted(self.reader.doc_ids, docs)
+            if len(self._pos_cache) < 4096:
+                self._pos_cache[term] = pos
+        return pos
+
+    def _topk_dense(self, infos, k: int, filter_docs: np.ndarray | None):
+        """Dense-accumulator disjunction: one float64 slot per doc,
+        scores scattered with fancy-index adds (posting doc sets are
+        unique per term).  No sorts, no concatenations — per-query
+        memory traffic is Σdf scatter writes + one linear scan, which is
+        what keeps many query actors from saturating memory bandwidth
+        (the round-1 QPS-scaling bottleneck).  Summation order = UB
+        order, matching the pruned path's pinned convention."""
+        n = self.reader.doc_ids.size
+        if self._acc is None or self._acc.size != n:
+            self._acc = np.zeros(n, dtype=np.float64)
+        acc = self._acc
+        acc.fill(0.0)
+        for node, tp, _ub in infos:
+            d, s = self.eval_term(node)
+            if d.size:
+                acc[self._term_positions(node.term, d)] += s
+        if filter_docs is not None:
+            keep = np.zeros(n, dtype=bool)
+            keep[np.searchsorted(self.reader.doc_ids, filter_docs)] = True
+            hit = np.flatnonzero((acc != 0.0) & keep)
+        else:
+            hit = np.flatnonzero(acc)
+        return self._topk(self.reader.doc_ids[hit], acc[hit].copy(), k)
+
     def top_k_disjunction(self, terms: list[Term], k: int = 20,
                           filter_docs: np.ndarray | None = None):
         """Exact top-k of a sum-of-BM25 disjunction with MaxScore-style
@@ -525,6 +693,12 @@ class QueryEngine:
         if not infos:
             return EMPTY_I, EMPTY_F
         infos.sort(key=lambda x: -x[2])
+        # hot disjunctions (posting mass ≳ doc space) score faster through
+        # the dense accumulator than through sort-based merges; rare-term
+        # queries stay on the pruned sparse path below
+        total_df = sum(tp.df for _, tp, _ in infos)
+        if total_df * 4 >= self.reader.n_docs > 0:
+            return self._topk_dense(infos, k, filter_docs)
         ubs = np.array([x[2] for x in infos])
         docs = EMPTY_I
         scores = EMPTY_F

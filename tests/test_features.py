@@ -80,6 +80,42 @@ def test_trim_cuts_optional_only_hits(searcher):
         assert h["doc_id"] in set(docs.tolist())
 
 
+def test_dense_bool_matches_sparse(searcher):
+    """The dense-accumulator boolean path must be bit-identical to the
+    sorted-merge path on every node shape (must/should/msm/filter/
+    must_not/boost/nested)."""
+    from gazetteer_search_ray.pipelines.query import (
+        Bool,
+        ColumnFilter,
+        Prefix,
+        RangeFilter,
+        Term,
+    )
+
+    eng = searcher.engine
+    plans = [
+        Bool(must=(Term("def"), Term("return"))),
+        Bool(should=(Term("def"), Term("class"), Term("import"))),
+        Bool(should=(Term("def"), Term("class"), Term("qwyzzle")),
+             minimum_should_match=2),
+        Bool(must=(Term("def"),), should=(Term("class"), Prefix("re")),
+             boost=2.5),
+        Bool(must=(Term("def"),), must_not=(Term("qwyzzle"),),
+             filter=(RangeFilter("dl", 5, 500),)),
+        Bool(must=(Bool(should=(Term("def"), Term("return"))),),
+             should=(Bool(must=(Term("class"),), name="inner"),)),
+    ]
+    for plan in plans:
+        eng.dense_enabled = True
+        eng._term_eval_cache.clear()
+        dd, ds_ = eng.evaluate(plan)
+        eng.dense_enabled = False
+        sd, ss = eng.evaluate(plan)
+        eng.dense_enabled = True
+        np.testing.assert_array_equal(dd, sd)
+        np.testing.assert_array_equal(ds_, ss)  # bit-identical floats
+
+
 def test_matched_queries_attribution(searcher):
     """Named-part bookkeeping (reference `_name` tags →
     ResultsWrapper.matched_queries; drives the Q16 trim)."""
