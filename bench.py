@@ -216,10 +216,16 @@ def run_scaling():
 
     lo_cpus = int(os.environ.get("GSR_SCALE_LO", "4"))
     hi_cpus = int(os.environ.get("GSR_SCALE_HI", "16"))
-    # best-of-two per level: co-tenant load on this VM makes single
-    # runs noisy; max throughput is the stable capacity signal
-    runs_lo = [run(lo_cpus), run(lo_cpus)]
-    runs_hi = [run(hi_cpus), run(hi_cpus)]
+    # best-of-N per level, legs INTERLEAVED (lo,hi,lo,hi): co-tenant
+    # load on this VM is non-stationary at the minutes scale, so
+    # back-to-back same-level runs sample the same noise window and the
+    # cross-level ratio swings 3x; interleaving gives both levels the
+    # same exposure, and max throughput is the capacity signal
+    repeats = int(os.environ.get("GSR_SCALE_REPEATS", "2"))
+    runs_lo, runs_hi = [], []
+    for _ in range(repeats):
+        runs_lo.append(run(lo_cpus))
+        runs_hi.append(run(hi_cpus))
     lo = max(runs_lo, key=lambda r: r["index_build"]["docs_per_sec"])
     hi = max(runs_hi, key=lambda r: r["index_build"]["docs_per_sec"])
     b_lo = lo["index_build"]["docs_per_sec"]
