@@ -46,6 +46,21 @@ def cmd_import(args):
     )
     from .sources.corpus import read_corpus
 
+    if args.update:
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from .pipelines.maintenance import update_index
+
+        first = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+        has_ids = first and "doc_id" in pq.read_schema(first[0]).names
+        # updates that already carry doc_id (the replace-by-id form) read
+        # as-is; corpus-shaped input goes through the id-assigning reader
+        ds = rd.read_parquet(args.input) if has_ids else read_corpus(args.input)
+        man = update_index(args.index, ds)
+        print(json.dumps({k: man[k] for k in ("n_docs", "total_tokens", "avgdl",
+                                              "import_counter")}))
+        return
     opts = BuildOptions(
         analyzer_config=(
             AnalyzerConfig.code() if args.analyzer == "code" else AnalyzerConfig.simple()
@@ -122,6 +137,9 @@ def main(argv=None):
     pi.add_argument("--doc-shards", type=int, default=1)
     pi.add_argument("--analyzer", choices=["code", "simple"], default="code")
     pi.add_argument("--no-resume", action="store_true")
+    pi.add_argument("--update", action="store_true",
+                    help="incremental update: delete incoming ids, add segment "
+                         "(reference --update mode)")
     pi.set_defaults(fn=cmd_import)
 
     ps = sub.add_parser("search")

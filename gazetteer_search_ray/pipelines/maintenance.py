@@ -72,6 +72,73 @@ def backfill_column(index_dir: str, values: dict[int, object], column: str,
     return int(sum(ray.get(futs)))
 
 
+def update_index(index_dir: str, ds, score_builder=None,
+                 id_col: str = "doc_id") -> dict:
+    """Incremental update import — the reference's ``--update`` mode
+    (``AddressesImporter.java:98-108,156-163,245-260``: delete the
+    incoming batch's ids, re-insert, bump the generation counters).
+
+    1. rows whose ``doc_id`` appears in ``ds`` are deleted from every
+       existing segment (:func:`delete_docs` — parallel compaction);
+    2. ``ds`` builds a fresh segment (same analyzer/block config, read
+       from the manifest) committed atomically under ``upd-<gen>``;
+    3. the top manifest re-commits with merged stats, the new segment
+       listed, and ``import_counter`` bumped — exactly the reference's
+       region/import-counter semantics (M16).
+
+    The incoming id set is collected on the driver — bounded by the
+    update batch, the same bound the reference's ``batchObjectIds``
+    buffer has.  BM25 stays consistent because df and the global
+    (n_docs, avgdl) merge across segments at read time, like ES shards.
+    """
+    import ray
+
+    from ..functions.analyzer import AnalyzerConfig
+    from .build_index import BuildOptions, build_index
+
+    man = mf.read_manifest(index_dir)
+    if man is None:
+        raise FileNotFoundError(f"no committed index at {index_dir}")
+
+    ids = np.unique(
+        np.concatenate(
+            [
+                t[id_col].to_numpy()
+                for t in ray.get(ds.select_columns([id_col]).to_arrow_refs())
+            ]
+            or [np.empty(0, np.int64)]
+        )
+    )
+    delete_docs(index_dir, doc_ids=ids.tolist())
+    man = mf.read_manifest(index_dir)  # post-delete stats + bumped counter
+
+    gen = int(man.get("import_counter", 0))
+    seg_name = f"upd-{gen:05d}"
+    seg_dir = os.path.join(index_dir, seg_name)
+    opts = BuildOptions(
+        analyzer_config=AnalyzerConfig.from_dict(man["analyzer"]),
+        block_size=int(man.get("block_size", 128)),
+        num_doc_shards=int(man.get("num_doc_shards", 1)),
+        score_builder=score_builder,
+    )
+    seg_man = build_index(ds, seg_dir, opts, overwrite=True)
+
+    segments = man.get("segments") or ["."]  # "." = the original root segment
+    segments = [s for s in segments if s != seg_name] + [seg_name]
+    n_docs = int(man["n_docs"]) + int(seg_man["n_docs"])
+    total_tokens = int(man["total_tokens"]) + int(seg_man["total_tokens"])
+    man.pop("format_version", None)
+    man.update(
+        n_docs=n_docs,
+        total_tokens=total_tokens,
+        avgdl=(total_tokens / n_docs) if n_docs else 0.0,
+        segments=segments,
+        import_counter=gen,
+    )
+    mf.write_manifest(index_dir, man)
+    return mf.read_manifest(index_dir)
+
+
 def _decode_rows_flat(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode ALL posting rows of one postings table in one vectorized
     pass → (docs, tfs, group_offsets len rows+1).

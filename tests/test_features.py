@@ -245,6 +245,62 @@ def test_delete_docs_compaction(ray_session):
             assert int(np.asarray(p["block_min_dl"]).min()) > 1
 
 
+def test_update_index_incremental(ray_session):
+    """Reference --update mode (AddressesImporter.java:98-163): delete
+    the incoming ids, re-insert as a fresh segment, bump counters."""
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.maintenance import update_index
+
+    base = f"{BASE}/idx_upd"
+    shutil.rmtree(base, ignore_errors=True)
+    files = write_synthetic_corpus(f"{BASE}/corpus_upd", n_docs=150, n_files=2)
+    build_index(
+        read_corpus(files),
+        base,
+        BuildOptions(analyzer_config=AnalyzerConfig.code(), batch_size=64),
+    )
+    s0 = Searcher(base)
+    n0 = s0.reader.n_docs
+    old_ids = s0.reader.doc_ids[:10].tolist()
+
+    # 10 replaced docs + 5 brand-new, all carrying a marker token
+    rows = [
+        {"doc_id": int(d), "content": f"zzupdated replacement body {d}"}
+        for d in old_ids
+    ] + [
+        {"doc_id": 10_000 + i, "content": f"zzupdated brand new doc {i}"}
+        for i in range(5)
+    ]
+    man = update_index(base, rd.from_items(rows))
+    assert man["n_docs"] == n0 + 5
+    assert man["import_counter"] >= 1
+    assert any(seg.startswith("upd-") for seg in man["segments"])
+
+    s1 = Searcher(base)
+    hits = s1.search("zzupdated", k=50, use_prior=False)
+    got = {h["doc_id"] for h in hits}
+    assert got == set(old_ids) | {10_000 + i for i in range(5)}
+    # replaced docs are no longer reachable through their old content:
+    # every posting for the updated ids comes from the new segment, so
+    # their doc length matches the replacement body
+    dls = s1.reader.dl_of(np.array(sorted(old_ids)))
+    assert all(0 < dl < 10 for dl in dls)
+    # pruned vs exhaustive stays identical on the multi-segment index
+    from gazetteer_search_ray.pipelines.query import Bool, Term
+
+    plan = Bool(should=(Term("def"), Term("zzupdated")))
+    pruned = s1.engine.top_k(plan, 20)
+    exhaustive = s1.engine._topk(*s1.engine.evaluate(plan), 20)
+    np.testing.assert_array_equal(pruned[0], exhaustive[0])
+    # updating again produces a distinct segment name
+    man2 = update_index(
+        base, rd.from_items([{"doc_id": 10_000, "content": "zzupdated again"}])
+    )
+    assert len([s for s in man2["segments"] if s.startswith("upd-")]) == 2
+    assert man2["n_docs"] == man["n_docs"]
+
+
 def test_mass_eval_pipeline(idx, tmp_path):
     import ray.data as rd
 
