@@ -709,6 +709,7 @@ def all_queries() -> dict:
         "bm25_box": q_bm25_box,
         "mass_eval": q_mass_eval,
         "events_window": q_events_window,
+        "events_hopping": q_events_hopping,
         "events_sessions": q_events_sessions,
     }
 
@@ -853,6 +854,29 @@ def q_events_window(sf_dir):
                 "min_value", "max_value"]]
 
 
+HOP_SEC = 1800  # hop < window → overlapping windows
+
+
+def q_events_hopping(sf_dir):
+    """Hopping-window aggregate (window 3600s, hop 1800s — each event
+    covers 2 windows)."""
+    import ray.data as rd
+
+    from .pipelines.windows import hopping_window_agg
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type", "value"],
+    )
+    out = hopping_window_agg(ds, WINDOW_SEC, HOP_SEC).to_pandas()
+    out["n_events"] = out["n_events"].astype(np.int64)
+    for c in ("sum_value", "min_value", "max_value"):
+        out[c] = np.round(out[c].astype(np.float64), 6)
+    out["window_start"] = out["window_start"].astype(np.int64)
+    return out[["event_type", "window_start", "n_events", "sum_value",
+                "min_value", "max_value"]]
+
+
 def q_events_sessions(sf_dir):
     """Session windows per user (gap > SESSION_GAP starts a session)."""
     import ray.data as rd
@@ -869,6 +893,17 @@ def q_events_sessions(sf_dir):
 
 
 WINDOW_SQL = {
+    "events_hopping": (
+        f"WITH e AS (SELECT event_type, value, "
+        f"CAST(floor(epoch(ts)) AS BIGINT) AS tss FROM events), "
+        f"x AS (SELECT event_type, value, "
+        f"unnest(generate_series(CAST(floor((tss - {WINDOW_SEC}) / {HOP_SEC}) AS BIGINT) + 1, "
+        f"CAST(floor(tss / {HOP_SEC}) AS BIGINT))) AS h FROM e) "
+        f"SELECT event_type, (h * {HOP_SEC}) AS window_start, "
+        f"count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value, "
+        f"round(min(value), 6) AS min_value, round(max(value), 6) AS max_value "
+        f"FROM x GROUP BY event_type, window_start"
+    ),
     "events_window": (
         f"SELECT event_type, "
         f"(CAST(floor(epoch(ts) / {WINDOW_SEC}) AS BIGINT) * {WINDOW_SEC}) AS window_start, "

@@ -66,6 +66,61 @@ def tumbling_window_agg(
     )
 
 
+def hopping_window_agg(
+    ds,
+    window_sec: int,
+    hop_sec: int,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+):
+    """count/sum/min/max per (key, hopping window): windows of
+    ``window_sec`` starting every ``hop_sec`` (overlapping when
+    hop < window).  Each event fans out to its ``window/hop`` covering
+    windows vectorized (np.repeat) and pre-aggregates per batch, so the
+    shuffle ships one row per key-window per batch — the same combiner
+    discipline as the tumbling window.
+    """
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        epoch = pc.cast(t[ts_col], pa.int64()).to_numpy() // 1_000_000
+        # window starts h*hop with h in [floor((t-window)/hop)+1, floor(t/hop)]
+        h_lo = (epoch - window_sec) // hop_sec + 1
+        h_hi = epoch // hop_sec
+        counts = (h_hi - h_lo + 1).astype(np.int64)
+        total = int(counts.sum())
+        seg = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        within = np.arange(total, dtype=np.int64) - np.repeat(seg, counts)
+        hs = np.repeat(h_lo, counts) + within
+        row_idx = np.repeat(np.arange(epoch.size, dtype=np.int64), counts)
+        tt = pa.table(
+            {
+                key_col: t[key_col].take(pa.array(row_idx)),
+                "window_start": pa.array(hs * hop_sec, pa.int64()),
+                value_col: t[value_col].take(pa.array(row_idx)),
+            }
+        )
+        g = tt.group_by([key_col, "window_start"], use_threads=False).aggregate(
+            [(value_col, "count"), (value_col, "sum"),
+             (value_col, "min"), (value_col, "max")]
+        )
+        return g.rename_columns(
+            [key_col, "window_start", "p_n", "p_sum", "p_min", "p_max"]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return (
+        partials.groupby([key_col, "window_start"])
+        .aggregate(
+            Sum("p_n", alias_name="n_events"),
+            Sum("p_sum", alias_name="sum_value"),
+            Min("p_min", alias_name="min_value"),
+            Max("p_max", alias_name="max_value"),
+        )
+    )
+
+
 def session_windows(
     ds,
     gap_sec: int,

@@ -78,3 +78,28 @@ def test_keep_policy(ray_session):
     assert langs <= {"python", "go"}
     assert not any("/sub0/" in p for p in s.reader.columns["path"])
     assert s.reader.n_docs < 120
+
+
+def test_hopping_window_overlap(ray_session):
+    """With hop = window/2 every event lands in exactly two windows;
+    hop == window degenerates to the tumbling output."""
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.windows import (
+        hopping_window_agg,
+        tumbling_window_agg,
+    )
+
+    rows = [
+        {"ts": np.datetime64(1000 + 100 * i, "s"), "event_type": "a",
+         "value": float(i)}
+        for i in range(50)
+    ]
+    hop = hopping_window_agg(rd.from_items(rows), window_sec=600,
+                             hop_sec=300).to_pandas()
+    assert hop["n_events"].sum() == 2 * 50
+    t1 = tumbling_window_agg(rd.from_items(rows), 600).to_pandas()
+    h1 = hopping_window_agg(rd.from_items(rows), 600, 600).to_pandas()
+    a = t1.sort_values("window_start").reset_index(drop=True)
+    b = h1.sort_values("window_start").reset_index(drop=True)
+    assert a[["window_start", "n_events"]].equals(b[["window_start", "n_events"]])
