@@ -596,6 +596,18 @@ def q_lang_id(sf_dir):
     return out
 
 
+def q_approx_distinct(sf_dir):
+    """HyperLogLog approximate distinct texts per lang (sketch op;
+    ±1.6% @ p=12 — rows-only driver check, accuracy bound in pytest)."""
+    from .pipelines.textstats import approx_distinct
+
+    out = approx_distinct(
+        _docs(sf_dir).select_columns(["text", "lang"]), "text", group_col="lang"
+    )
+    out["approx_distinct"] = out["approx_distinct"].astype(np.int64)
+    return out[["lang", "approx_distinct"]]
+
+
 def q_fingerprint(sf_dir):
     from .pipelines.textstats import fingerprint
 
@@ -704,6 +716,7 @@ def all_queries() -> dict:
         "token_count_bpe": q_token_count_bpe,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "approx_distinct": q_approx_distinct,
         "bm25_fuzzy": q_bm25_fuzzy,
         "bm25_range": q_bm25_range,
         "bm25_box": q_bm25_box,

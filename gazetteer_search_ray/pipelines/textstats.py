@@ -187,3 +187,52 @@ def token_count_bpe(ds, text_col: str = "text", id_col: str = "doc_id"):
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def approx_distinct(ds, col: str, group_col: str | None = None, p: int = 12):
+    """HyperLogLog approximate distinct count of ``col`` (optionally per
+    ``group_col``) — the sketch path for cardinality at corpus scale.
+
+    Each batch folds its values into 2^p-byte HLL registers per group
+    (``functions/sketch.py``) and emits ONE register row per (group,
+    batch); the merge is an elementwise max over those rows — KBs of
+    shuffle regardless of input size.  Returns a pandas frame
+    (group?, approx_distinct).
+    """
+    import pandas as pd
+    import ray
+
+    from ..functions.sketch import HyperLogLog, hash64
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t[col].to_pylist()
+        if group_col is None:
+            groups = {"": np.arange(len(vals))}
+        else:
+            gv = np.asarray(t[group_col].to_pylist(), dtype=object)
+            groups = {g: np.flatnonzero(gv == g) for g in set(gv.tolist())}
+        out_g, out_r = [], []
+        for g, idx in groups.items():
+            hll = HyperLogLog(p).add_hashed(
+                hash64([str(vals[i]) for i in idx])
+            )
+            out_g.append(str(g))
+            out_r.append(hll.registers.tobytes())
+        return pa.table(
+            {
+                "group": pa.array(out_g, pa.string()),
+                "registers": pa.array(out_r, pa.binary()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = []
+    for g, rows in parts.groupby("group"):
+        hll = HyperLogLog(p)
+        for r in rows["registers"]:
+            hll.merge(HyperLogLog(p, np.frombuffer(r, dtype=np.uint8)))
+        out.append({"group": g, "approx_distinct": int(round(hll.estimate()))})
+    res = pd.DataFrame(out).sort_values("group").reset_index(drop=True)
+    if group_col is None:
+        return res[["approx_distinct"]]
+    return res.rename(columns={"group": group_col})

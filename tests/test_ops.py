@@ -301,3 +301,40 @@ def test_ann_ivf_recall(ray_session):
         assert qi in a  # self found
         hits += len(e & a)
     assert hits >= 12  # ≥80% recall on clustered data
+
+
+def test_hll_sketch_accuracy():
+    from gazetteer_search_ray.functions.sketch import HyperLogLog, hash64
+
+    n = 100_000
+    vals = [f"value-{i}" for i in range(n)]
+    hll = HyperLogLog(12)
+    # fold in chunks and merge — exercises the combiner shape
+    merged = HyperLogLog(12)
+    for i in range(0, n, 10_000):
+        part = HyperLogLog(12).add_hashed(hash64(vals[i : i + 10_000]))
+        merged.merge(part)
+        hll.add_hashed(hash64(vals[i : i + 10_000]))
+    for est in (hll.estimate(), merged.estimate()):
+        assert abs(est - n) / n < 0.05
+    # merge equals single-pass exactly (registers are max-monoid)
+    np.testing.assert_array_equal(hll.registers, merged.registers)
+    # duplicates don't move the estimate
+    hll2 = HyperLogLog(12).add_hashed(hash64(vals * 2))
+    np.testing.assert_array_equal(hll2.registers, hll.registers)
+
+
+def test_approx_distinct_operator(ray_session):
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.textstats import approx_distinct
+
+    rows = [{"doc_id": i, "text": f"t{i % 300}", "lang": "en" if i % 2 else "de"}
+            for i in range(2000)]
+    ds = rd.from_items(rows)
+    per_lang = approx_distinct(ds, "text", group_col="lang")
+    assert set(per_lang["lang"]) == {"en", "de"}
+    for _, row in per_lang.iterrows():
+        assert abs(row["approx_distinct"] - 150) / 150 < 0.1
+    total = approx_distinct(ds, "text")
+    assert abs(int(total["approx_distinct"].iloc[0]) - 300) / 300 < 0.1
