@@ -434,6 +434,33 @@ def q_paged_scroll(sf_dir):
 # ---------------------------------------------------------------------------
 
 
+SAMPLE_FRAC = 0.2
+TOPK_PER_GROUP = 3
+
+
+def q_sample_hash(sf_dir):
+    """Deterministic hash sampling (Knuth multiplicative hash on doc_id
+    — identical arithmetic in the SQL oracle)."""
+    from .pipelines.relational import sample_hash
+
+    out = sample_hash(
+        _docs(sf_dir).select_columns(["doc_id", "lang"]), SAMPLE_FRAC
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)[["doc_id", "lang"]]
+
+
+def q_grouped_topk(sf_dir):
+    """Window-function analog: top-3 docs per lang by (n_chars desc,
+    doc_id asc)."""
+    from .pipelines.relational import grouped_topk
+
+    out = grouped_topk(_docs(sf_dir), "lang", "n_chars", TOPK_PER_GROUP)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_chars"] = out["n_chars"].astype(np.int64)
+    return out[["lang", "doc_id", "n_chars"]]
+
+
 def q_dedup_exact(sf_dir):
     from .pipelines.dedup import dedup_exact
 
@@ -637,6 +664,18 @@ EXTRA_SQL = {
         "SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS dup_count "
         "FROM documents GROUP BY text ORDER BY doc_id"
     ),
+    "sample_hash": (
+        f"SELECT doc_id, lang FROM documents "
+        f"WHERE (doc_id * 2654435761) % 4294967296 < "
+        f"{int(SAMPLE_FRAC * 4294967296)} ORDER BY doc_id"
+    ),
+    "grouped_topk": (
+        f"SELECT lang, doc_id, n_chars FROM ("
+        f"SELECT lang, doc_id, n_chars, row_number() OVER "
+        f"(PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn "
+        f"FROM documents) WHERE rn <= {TOPK_PER_GROUP} "
+        f"ORDER BY lang, n_chars DESC, doc_id"
+    ),
     "dedup_drop": (
         "SELECT doc_id, lang FROM documents WHERE doc_id IN "
         "(SELECT min(doc_id) FROM documents GROUP BY text) ORDER BY doc_id"
@@ -702,6 +741,8 @@ def all_queries() -> dict:
         "group_stats": q_group_stats,
         "delete_by_query": q_delete_by_query,
         "paged_scroll": q_paged_scroll,
+        "sample_hash": q_sample_hash,
+        "grouped_topk": q_grouped_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_drop": q_dedup_drop,
         "dedup_minhash": q_dedup_minhash,

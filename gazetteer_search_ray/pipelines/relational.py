@@ -186,3 +186,61 @@ def paged_scroll(ds, order_col: str, after, page_size: int,
         return t.filter(pc.greater(t[order_col], after))
 
     return ds.map_batches(f, batch_format="pyarrow").sort(order_col).limit(page_size)
+
+
+def sample_hash(ds, frac: float, id_col: str = "doc_id"):
+    """Deterministic hash sampling: keep rows whose Knuth multiplicative
+    hash of ``id_col`` falls under ``frac`` — reproducible across runs
+    and engines (the SQL oracle computes the same arithmetic), no RNG
+    state, one streaming pass, no shuffle."""
+    threshold = np.uint64(int(frac * 4294967296))
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(4294967296)
+        return t.filter(pa.array(h < threshold))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def grouped_topk(ds, group_col: str, val_col: str, k: int,
+                 id_col: str = "doc_id"):
+    """Top-k rows per group by (val desc, id asc) — the window-function
+    ``row_number() OVER (PARTITION BY g ORDER BY v DESC)`` analog.
+
+    Per-batch combiner: each batch emits at most k rows per group it
+    contains (vectorized lexsort + run-limited take), so the final merge
+    sees ≤ groups × batches × k rows, never the input.  Returns a pandas
+    frame (group, id, val) sorted (group, rank).
+    """
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = np.asarray(t[group_col].to_pylist(), dtype=object)
+        v = t[val_col].to_numpy()
+        i = t[id_col].to_numpy()
+        # sort (group asc, val desc, id asc), keep first k of each run
+        order = np.lexsort((i, -v, g))
+        gs = g[order]
+        heads = np.concatenate(([0], np.flatnonzero(gs[1:] != gs[:-1]) + 1,
+                                [gs.size]))
+        keep = []
+        for s, e in zip(heads[:-1], heads[1:]):
+            keep.append(order[s : min(s + k, e)])
+        sel = np.concatenate(keep) if keep else np.empty(0, np.int64)
+        return t.take(pa.array(sel))
+
+    parts = ds.select_columns([group_col, val_col, id_col]).map_batches(
+        partial, batch_format="pyarrow"
+    ).to_pandas()
+    out = []
+    for gval, rows in parts.groupby(group_col):
+        rows = rows.sort_values([val_col, id_col], ascending=[False, True]).head(k)
+        out.append(rows)
+    if not out:
+        return parts
+    return (
+        pd.concat(out, ignore_index=True)
+        .sort_values([group_col, val_col, id_col], ascending=[True, False, True])
+        .reset_index(drop=True)[[group_col, id_col, val_col]]
+    )

@@ -338,3 +338,39 @@ def test_approx_distinct_operator(ray_session):
         assert abs(row["approx_distinct"] - 150) / 150 < 0.1
     total = approx_distinct(ds, "text")
     assert abs(int(total["approx_distinct"].iloc[0]) - 300) / 300 < 0.1
+
+
+def test_sample_hash_deterministic(docs_ds):
+    from gazetteer_search_ray.pipelines.relational import sample_hash
+
+    ds, rows = docs_ds
+    a = sample_hash(ds, 0.5).to_pandas().sort_values("doc_id")
+    b = sample_hash(ds, 0.5).to_pandas().sort_values("doc_id")
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert 0 < len(a) < len(rows)
+    # frac=1 keeps everything; frac=0 keeps nothing
+    assert len(sample_hash(ds, 1.0).to_pandas()) == len(rows)
+    assert len(sample_hash(ds, 0.0).to_pandas()) == 0
+
+
+def test_grouped_topk_matches_pandas(docs_ds):
+    from gazetteer_search_ray.pipelines.relational import grouped_topk
+
+    ds, rows = docs_ds
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    df["n"] = df["text"].str.len()
+    ds2 = ds.map_batches(
+        lambda t: t.append_column(
+            "n", pa.array([len(x) for x in t["text"].to_pylist()], pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+    got = grouped_topk(ds2, "lang", "n", 3)
+    exp = (
+        df.sort_values(["n", "doc_id"], ascending=[False, True])
+        .groupby("lang").head(3)
+        .sort_values(["lang", "n", "doc_id"], ascending=[True, False, True])
+    )
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
