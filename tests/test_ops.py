@@ -374,3 +374,32 @@ def test_grouped_topk_matches_pandas(docs_ds):
         .sort_values(["lang", "n", "doc_id"], ascending=[True, False, True])
     )
     assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+
+
+def test_text_embeddings_to_ann(docs_ds):
+    """Text → hashing-trick embedding → exact ANN: a doc's nearest
+    neighbor set contains its exact duplicates at cosine 1."""
+    from gazetteer_search_ray.pipelines.similarity import ann_topk_bruteforce
+    from gazetteer_search_ray.pipelines.textstats import text_embeddings
+
+    ds, rows = docs_ds
+    emb = text_embeddings(ds, dim=64).materialize()
+    first = emb.to_pandas().set_index("doc_id")
+    q = np.array([first.loc[0, "embedding"]])
+    out = ann_topk_bruteforce(
+        emb.map_batches(
+            lambda t: t.rename_columns(["vec_id", "embedding"]),
+            batch_format="pyarrow",
+        ),
+        q, k=9,
+    )
+    top = out.sort_values("rank")
+    # doc 0's text recurs at 10/20/30 (fixture period) and 40-44 are
+    # planted exact dups — all 9 tie at cosine 1
+    assert set(top["vec_id"]) == {0, 10, 20, 30, 40, 41, 42, 43, 44}
+    assert np.allclose(top["cosine"], 1.0)
+    # determinism
+    again = text_embeddings(ds, dim=64).to_pandas().set_index("doc_id")
+    assert np.allclose(
+        np.array(first.loc[7, "embedding"]), np.array(again.loc[7, "embedding"])
+    )
