@@ -212,6 +212,14 @@ class QueryEngine:
         self._pos_cache: dict[str, np.ndarray] = {}
         # reusable dense accumulator (one per engine ≙ per actor)
         self._acc: np.ndarray | None = None
+        # term → GLOBAL doc frequency, injected by a sharded-query
+        # coordinator (ES dfs_query_then_fetch analog): a shard actor's
+        # local postings see only local df, but BM25 IDF must use the
+        # cross-shard df for rank-identity with an unsharded index
+        self.df_override: dict[str, int] = {}
+
+    def _df(self, term: str, tp: TermPostings) -> int:
+        return self.df_override.get(term, tp.df)
 
     # -- term scoring ----------------------------------------------------
 
@@ -222,16 +230,19 @@ class QueryEngine:
         )
 
     def eval_term(self, node: Term):
-        key = (node.term, node.boost)
+        tp = self.reader.posting(node.term)
+        df = self._df(node.term, tp) if tp is not None else 0
+        # cache key includes the effective df so coordinator-injected
+        # global stats (sharded mode) never serve stale scores
+        key = (node.term, node.boost, df)
         hit = self._term_eval_cache.get(key)
         if hit is not None:
             return hit
-        tp = self.reader.posting(node.term)
         if tp is None:
             res = (EMPTY_I, EMPTY_F)
         else:
             docs, tfs = self.reader.decode_all(tp)
-            res = (docs, node.boost * self._score_tf(docs, tfs, tp.df))
+            res = (docs, node.boost * self._score_tf(docs, tfs, df))
         if len(self._term_eval_cache) < 1024:
             self._term_eval_cache[key] = res
         return res
@@ -598,18 +609,20 @@ class QueryEngine:
 
     # -- block-max pruned disjunction (MaxScore/WAND family) -------------
 
-    def _term_ub(self, tp: TermPostings) -> float:
+    def _term_ub(self, tp: TermPostings, df: int | None = None) -> float:
+        df = tp.df if df is None else df
         ub = 0.0
         for p in tp.parts:
             if len(p["block_max_tf"]):
                 b_ub = bm25.block_upper_bound(
-                    p["block_max_tf"], p["block_min_dl"], tp.df,
+                    p["block_max_tf"], p["block_min_dl"], df,
                     self.reader.n_docs, self.reader.avgdl, self.k1, self.b,
                 )
                 ub = max(ub, float(np.max(b_ub)))
         return ub
 
-    def _gather_term(self, tp: TermPostings, cand: np.ndarray, boost: float) -> np.ndarray:
+    def _gather_term(self, tp: TermPostings, cand: np.ndarray, boost: float,
+                     df: int | None = None) -> np.ndarray:
         """Scores of ``cand`` docs for this term, decoding only the
         blocks that contain a candidate (block-selective skip read)."""
         out = np.zeros(cand.size, dtype=np.float64)
@@ -628,7 +641,8 @@ class QueryEngine:
             idx_c = np.minimum(idx, d.size - 1)
             hit = (d[idx_c] == cand) & valid
             if hit.any():
-                sc = self._score_tf(d[idx_c[hit]], t[idx_c[hit]], tp.df)
+                sc = self._score_tf(d[idx_c[hit]], t[idx_c[hit]],
+                                    tp.df if df is None else df)
                 out[hit] += boost * sc
         return out
 
@@ -684,11 +698,13 @@ class QueryEngine:
         for node in terms:
             tp = self.reader.posting(node.term)
             if tp is not None:
-                ub = self._ub_cache.get(node.term)
+                df = self._df(node.term, tp)
+                ub_key = (node.term, df)
+                ub = self._ub_cache.get(ub_key)
                 if ub is None:
-                    ub = self._term_ub(tp)
+                    ub = self._term_ub(tp, df)
                     if len(self._ub_cache) < 8192:
-                        self._ub_cache[node.term] = ub
+                        self._ub_cache[ub_key] = ub
                 infos.append((node, tp, node.boost * ub))
         if not infos:
             return EMPTY_I, EMPTY_F
@@ -730,6 +746,8 @@ class QueryEngine:
             cand = docs[cand_mask]
             cand_scores = scores[cand_mask].copy()
             for node, tp, _ub in infos[i:]:
-                cand_scores += self._gather_term(tp, cand, node.boost)
+                cand_scores += self._gather_term(
+                    tp, cand, node.boost, self._df(node.term, tp)
+                )
             docs, scores = cand, cand_scores
         return self._topk(docs, scores, k)

@@ -125,8 +125,9 @@ class Searcher:
     corpus the natural instance maps language keywords → ``lang``.
     """
 
-    def __init__(self, index_dir: str, aux_lookup: dict[str, tuple[str, str]] | None = None):
-        self.reader = IndexReader(index_dir)
+    def __init__(self, index_dir: str, aux_lookup: dict[str, tuple[str, str]] | None = None,
+                 segments: list[str] | None = None):
+        self.reader = IndexReader(index_dir, segments=segments)
         self.engine = QueryEngine(self.reader)
         self.aux_lookup = aux_lookup or {}
 
@@ -370,6 +371,131 @@ class QueryService:
         for f in self._ray.get(futs):
             out.extend(f)
         return out
+
+    def shutdown(self) -> None:
+        for w in self.workers:
+            self._ray.kill(w)
+
+
+class ShardedQueryService:
+    """Scatter-gather query serving over segment shards — the multi-node
+    layout (reference analog: ES shards + ``dfs_query_then_fetch``).
+
+    Each raw-Ray actor holds ONE shard's segments (``IndexReader``
+    restricted via ``segments=``); on a real cluster the actors are
+    scheduled next to their segment files and no actor ever loads the
+    whole index.  A query runs two-phase for rank-identity with an
+    unsharded index:
+
+    1. **dfs phase** — the coordinator analyzes the query (analyzer from
+       the manifest), collects each shard's local df for the plan's Term
+       leaves, and sums them into the GLOBAL df map;
+    2. **query phase** — every shard evaluates the same plan with the
+       global df injected (``QueryEngine.df_override``) plus the
+       manifest's global n_docs/avgdl, returns its local top-k, and the
+       coordinator merges by (score desc, doc_id asc).
+
+    The coalesce cascade is decided globally: a variant counts as
+    non-empty if ANY shard matched, so shards never mix variants.
+    Differentially tested bit-identical to the unsharded ``Searcher``.
+    """
+
+    def __init__(self, index_dir: str, shards: list[list[str]] | None = None,
+                 use_prior: bool = False, num_cpus: float = 1.0):
+        import ray
+
+        from ..functions.analyzer import Analyzer, AnalyzerConfig
+        from ..state import manifest as mf
+
+        man = mf.read_manifest(index_dir)
+        if man is None:
+            raise FileNotFoundError(index_dir)
+        segments = man.get("segments")
+        if not segments:
+            raise ValueError(
+                "sharded serving needs a segmented index "
+                "(build_index_partitioned / update_index)"
+            )
+        if shards is None:
+            shards = [[s] for s in segments]  # one actor per segment
+        self.analyzer = Analyzer(AnalyzerConfig.from_dict(man["analyzer"]))
+        self.use_prior = use_prior
+
+        @ray.remote(num_cpus=num_cpus)
+        class _Shard:
+            def __init__(self, index_dir: str, segments: list[str]):
+                self.searcher = Searcher(index_dir, segments=segments)
+
+            def term_stats(self, terms: list[str]) -> dict:
+                out = {}
+                for t in terms:
+                    tp = self.searcher.reader.posting(t)
+                    if tp is not None:
+                        out[t] = int(tp.df)
+                return out
+
+            def eval_plan(self, plan, k: int, df_override: dict) -> tuple:
+                eng = self.searcher.engine
+                eng.df_override = df_override
+                docs, scores = eng.top_k(plan, k)
+                return docs, scores
+
+        self._ray = ray
+        self.workers = [_Shard.remote(index_dir, group) for group in shards]
+
+    @staticmethod
+    def _term_leaves(plan) -> list[str]:
+        out: list[str] = []
+
+        def walk(n):
+            from .query import Bool as B, ConstantScore, DisMax, FunctionScore
+            from .query import Term as T
+
+            if isinstance(n, T):
+                out.append(n.term)
+            elif isinstance(n, B):
+                for group in (n.must, n.should, n.must_not, n.filter):
+                    for c in group:
+                        walk(c)
+            elif isinstance(n, DisMax):
+                for c in n.children:
+                    walk(c)
+            elif isinstance(n, (ConstantScore, FunctionScore)):
+                walk(n.child)
+
+        walk(plan)
+        return sorted(set(out))
+
+    def search(self, q: str, k: int = 20, prefix: bool = False,
+               filters: dict | None = None, coalesce: bool = True,
+               use_prior: bool | None = None) -> list[dict]:
+        ray = self._ray
+        pq = analyze_query(q, self.analyzer, prefix)
+        prior = self.use_prior if use_prior is None else use_prior
+        variants = build_cascade(pq, filters, prior)
+        if not variants:
+            return []
+        if not coalesce:
+            variants = variants[-1:]
+        # dfs phase once per query (all variants share the leaf terms)
+        terms = sorted({t for v in variants for t in self._term_leaves(v)})
+        global_df: dict[str, int] = {}
+        for local in ray.get([w.term_stats.remote(terms) for w in self.workers]):
+            for t, df in local.items():
+                global_df[t] = global_df.get(t, 0) + df
+        for plan in variants:  # coalesce decided over the MERGED result
+            parts = ray.get(
+                [w.eval_plan.remote(plan, k, global_df) for w in self.workers]
+            )
+            docs = np.concatenate([p[0] for p in parts])
+            scores = np.concatenate([p[1] for p in parts])
+            if docs.size:
+                order = np.lexsort((docs, -scores))[:k]
+                return [
+                    {"rank": r + 1, "doc_id": int(docs[i]), "score": float(scores[i])}
+                    for r, i in enumerate(order)
+                ]
+        return []
 
     def shutdown(self) -> None:
         for w in self.workers:

@@ -51,7 +51,14 @@ class TermPostings:
 
 
 class IndexReader:
-    def __init__(self, index_dir: str, cache_terms: int = 8192):
+    def __init__(self, index_dir: str, cache_terms: int = 8192,
+                 segments: list[str] | None = None):
+        """``segments`` restricts the reader to a subset of the index's
+        segment names — the shard-actor mode (each actor of a sharded
+        query pool serves its co-located segments; global stats
+        n_docs/avgdl still come from the manifest, and per-term global
+        df is injected by the coordinator — see
+        ``pipelines/search.py::ShardedQueryService``)."""
         man = mf.read_manifest(index_dir)
         if man is None:
             raise FileNotFoundError(f"no committed index at {index_dir}")
@@ -60,11 +67,19 @@ class IndexReader:
         self.avgdl = float(man["avgdl"])
         self.block_size = int(man.get("block_size", 128))
         self.analyzer = Analyzer(AnalyzerConfig.from_dict(man["analyzer"]))
-        seg_dirs = (
-            [os.path.join(index_dir, s) for s in man["segments"]]
-            if "segments" in man
-            else [index_dir]
-        )
+        all_segments = man.get("segments")
+        if segments is not None:
+            known = set(all_segments or [])
+            bad = [s for s in segments if s not in known]
+            if bad:
+                raise ValueError(f"unknown segments {bad}; index has {sorted(known)}")
+            seg_dirs = [os.path.join(index_dir, s) for s in segments]
+        else:
+            seg_dirs = (
+                [os.path.join(index_dir, s) for s in all_segments]
+                if all_segments
+                else [index_dir]
+            )
 
         # ---- doc store -------------------------------------------------
         import pyarrow.dataset as pads

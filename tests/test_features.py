@@ -365,3 +365,43 @@ def test_query_service_pool(idx):
     summ = svc.replay(queries, batch_size=2, summarize=True)
     assert summ[1]["n_hits"] == len(local.search("def return", k=20, use_prior=False))
     svc.shutdown()
+
+
+def test_sharded_scatter_gather_matches_unsharded(ray_session):
+    """ShardedQueryService (one actor per segment, two-phase global-df
+    search) must produce identical hits to the unsharded Searcher."""
+    import glob
+
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.build_index import (
+        build_index_partitioned,
+    )
+    from gazetteer_search_ray.pipelines.search import ShardedQueryService
+    from gazetteer_search_ray.sources.corpus import write_synthetic_corpus
+
+    base = f"{BASE}/idx_shard"
+    shutil.rmtree(base, ignore_errors=True)
+    files = write_synthetic_corpus(f"{BASE}/corpus_shard", n_docs=300, n_files=4)
+    build_index_partitioned(
+        sorted(glob.glob(f"{BASE}/corpus_shard/*.parquet")),
+        base,
+        BuildOptions(analyzer_config=AnalyzerConfig.code(), batch_size=64),
+        num_partitions=3,
+    )
+    flat = Searcher(base)
+    svc = ShardedQueryService(base, use_prior=False)
+    try:
+        for q, pfx in [("def return", False), ("class", False),
+                       ("qwyzzle", False), ("parse add", True),
+                       ("def import class return", False),
+                       ("zzz_nonexistent", False)]:
+            want = flat.search(q, k=15, prefix=pfx, use_prior=False)
+            got = svc.search(q, k=15, prefix=pfx)
+            assert [h["doc_id"] for h in got] == [h["doc_id"] for h in want], q
+            np.testing.assert_allclose(
+                [h["score"] for h in got], [h["score"] for h in want],
+                rtol=0, atol=0,
+            )  # bit-identical: same global df, n_docs, avgdl
+    finally:
+        svc.shutdown()
