@@ -88,7 +88,13 @@ class SearchHTTPServer:
                             return self._reply(
                                 400, {"result": "error", "error": "missing q"}
                             )
-                        return self._reply(200, outer.search_params(qs))
+                        try:
+                            payload = outer.search_params(qs)
+                        except ValueError as e:  # bad page/size etc.
+                            return self._reply(
+                                400, {"result": "error", "error": str(e)}
+                            )
+                        return self._reply(200, payload)
                     return self._reply(404, {"result": "error", "error": "no route"})
                 except Exception as e:  # surface, don't kill the thread
                     return self._reply(

@@ -137,3 +137,12 @@ def test_pool_backend_matches_local(server, ray_session):
         assert [r["doc_id"] for r in a["rows"]] == [r["doc_id"] for r in b["rows"]]
     finally:
         pooled.shutdown()
+
+
+def test_bad_numeric_params_400(server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(server, "/location/_search", q="main", page="xx")
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(server, "/location/_search", q="main", size="-3.5")
+    assert ei.value.code == 400
