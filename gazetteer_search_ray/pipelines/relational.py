@@ -244,3 +244,60 @@ def grouped_topk(ds, group_col: str, val_col: str, k: int,
         .sort_values([group_col, val_col, id_col], ascending=[True, False, True])
         .reset_index(drop=True)[[group_col, id_col, val_col]]
     )
+
+
+def substring_overlap_flag(ds, col_a: str, col_b: str,
+                           out_col: str = "street_has_loc",
+                           analyzer=None):
+    """M10 ``street_has_loc``: True when any token of ``col_a``
+    substring-matches any token of ``col_b`` in either direction
+    (reference ``ImportObjectParser.java:202-213`` — street token vs
+    locality token).  Tokens come from the shared analyzer (or
+    whitespace split); the per-row loop runs over the few short tokens
+    of two name fields, the same work the reference does per row.
+    """
+
+    def tok(x: str) -> list[str]:
+        if analyzer is not None:
+            return [t for t, _ in analyzer.tokens(x or "")]
+        return (x or "").lower().split()
+
+    def f(t: pa.Table) -> pa.Table:
+        flags = []
+        for a, b in zip(t[col_a].to_pylist(), t[col_b].to_pylist()):
+            ta, tb = tok(a), tok(b)
+            flags.append(
+                any(x in y or y in x for x in ta for y in tb)
+            )
+        return t.append_column(out_col, pa.array(flags, pa.bool_()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def expand_refs(ds, col: str, out_col: str | None = None):
+    """M11 refs expansion (reference ``ImportObjectParser.java:287-327``):
+    for each ref value keep the raw string and append the parsed third
+    ``-``-segment id (the OSM id inside ``r-x-12345`` style refs)."""
+    out_col = out_col or col
+
+    def f(t: pa.Table) -> pa.Table:
+        out = []
+        for vals in t[col].to_pylist():
+            if vals is None:
+                out.append([])
+                continue
+            if isinstance(vals, str):
+                vals = [vals]
+            expanded = []
+            for v in vals:
+                expanded.append(v)
+                parts = str(v).split("-")
+                if len(parts) >= 3 and parts[2]:
+                    expanded.append(parts[2])
+            out.append(expanded)
+        arr = pa.array(out, pa.list_(pa.string()))
+        if out_col in t.column_names:
+            t = t.drop_columns([out_col])
+        return t.append_column(out_col, arr)
+
+    return ds.map_batches(f, batch_format="pyarrow")

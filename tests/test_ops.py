@@ -403,3 +403,41 @@ def test_text_embeddings_to_ann(docs_ds):
     assert np.allclose(
         np.array(first.loc[7, "embedding"]), np.array(again.loc[7, "embedding"])
     )
+
+
+def test_substring_overlap_flag(ray_session):
+    """M10 street_has_loc: two-way substring match over field tokens."""
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.relational import substring_overlap_flag
+
+    rows = [
+        {"i": 0, "street": "main spring street", "loc": "springfield"},
+        {"i": 1, "street": "oak avenue", "loc": "portland"},
+        {"i": 2, "street": "portlandia way", "loc": "portland"},  # loc ⊂ street tok
+        {"i": 3, "street": "", "loc": "x"},
+    ]
+    out = substring_overlap_flag(
+        rd.from_items(rows), "street", "loc"
+    ).to_pandas().set_index("i")
+    assert bool(out.loc[0, "street_has_loc"]) is True   # spring ⊂ springfield
+    assert bool(out.loc[1, "street_has_loc"]) is False
+    assert bool(out.loc[2, "street_has_loc"]) is True   # portland ⊂ portlandia
+    assert bool(out.loc[3, "street_has_loc"]) is False
+
+
+def test_expand_refs(ray_session):
+    """M11 refs expansion: raw value kept, 3rd dash segment appended."""
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.relational import expand_refs
+
+    rows = [
+        {"i": 0, "refs": ["r-w-12345", "plain"]},
+        {"i": 1, "refs": "r-n-777-extra"},
+        {"i": 2, "refs": None},
+    ]
+    out = expand_refs(rd.from_items(rows), "refs").to_pandas().set_index("i")
+    assert list(out.loc[0, "refs"]) == ["r-w-12345", "12345", "plain"]
+    assert list(out.loc[1, "refs"]) == ["r-n-777-extra", "777"]
+    assert list(out.loc[2, "refs"]) == []
