@@ -301,3 +301,20 @@ def expand_refs(ds, col: str, out_col: str | None = None):
         return t.append_column(out_col, arr)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def parse_first_number(ds, col: str, out_col: str = "housenumber_number"):
+    """M8 housenumber parse (reference
+    ``ImportObjectParser.java:243-261``): the first integer run in the
+    string, −1 when none — vectorized with one Arrow regex extract."""
+
+    def f(t: pa.Table) -> pa.Table:
+        s = pc.cast(t[col], pa.string())
+        m = pc.extract_regex(s, pattern=r"(?P<num>\d+)")
+        num = pc.struct_field(m, "num")
+        out = pc.cast(
+            pc.if_else(pc.is_valid(num), num, pa.scalar("-1")), pa.int64()
+        )
+        return t.append_column(out_col, out)
+
+    return ds.map_batches(f, batch_format="pyarrow")

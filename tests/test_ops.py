@@ -441,3 +441,19 @@ def test_expand_refs(ray_session):
     assert list(out.loc[0, "refs"]) == ["r-w-12345", "12345", "plain"]
     assert list(out.loc[1, "refs"]) == ["r-n-777-extra", "777"]
     assert list(out.loc[2, "refs"]) == []
+
+
+def test_parse_first_number(ray_session):
+    """M8: first integer run, -1 when absent (vectorized Arrow regex)."""
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.relational import parse_first_number
+
+    rows = [
+        {"i": 0, "hn": "12a"},
+        {"i": 1, "hn": "bldg 7-9"},
+        {"i": 2, "hn": "no number"},
+        {"i": 3, "hn": "123к45"},
+    ]
+    out = parse_first_number(rd.from_items(rows), "hn").to_pandas().set_index("i")
+    assert out["housenumber_number"].tolist() == [12, 7, -1, 123]
