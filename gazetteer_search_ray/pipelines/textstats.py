@@ -74,20 +74,48 @@ class LangId:
         self.tables = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        preds, confs = [], []
-        for text in t[self.text_col].to_pylist():
-            words = [w.lower() for w in self.word.findall(text or "")]
-            best, hits = "unknown", 0
-            for lang, table in self.tables.items():
-                h = sum(1 for w in words if w in table)
-                if h > hits:
-                    best, hits = lang, h
-            preds.append(best)
-            confs.append(hits / max(1, len(words)))
+        """Vectorized: one Arrow lower+split pass, stopword membership
+        computed once per DISTINCT token (dictionary encode), per-row
+        per-lang hit counts scattered with np.add.at — no Python loop
+        over rows or words.  Tie/zero rules match the scalar reference
+        implementation exactly (first max in table order; 'unknown'
+        when no stopword hits)."""
+        n = t.num_rows
+        if n == 0:
+            return pa.table({self.id_col: t[self.id_col],
+                             "pred_lang": pa.array([], pa.string()),
+                             "confidence": pa.array([], pa.float64())})
+        langs = list(self.tables)
+        s = pc.utf8_lower(pc.cast(t[self.text_col], pa.string()))
+        lst = pc.split_pattern_regex(s, pattern="[^a-z]+")
+        flat = pc.list_flatten(lst)
+        parent = pc.list_parent_indices(lst).to_numpy()
+        keep = pc.not_equal(flat, "").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        d = pc.dictionary_encode(flat.filter(pc.not_equal(flat, "")))
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        parent = parent[keep]
+        codes = d.indices.to_numpy()
+        uniq = d.dictionary.to_pylist()
+        # distinct-token → lang membership (vocab-sized, not corpus-sized)
+        member = np.zeros((len(uniq), len(langs)), dtype=np.int64)
+        for li, lang in enumerate(langs):
+            table = self.tables[lang]
+            member[:, li] = [w in table for w in uniq]
+        hits = np.zeros((n, len(langs)), dtype=np.int64)
+        np.add.at(hits, parent, member[codes])
+        totals = np.bincount(parent, minlength=n)
+        best = hits.argmax(axis=1)
+        best_hits = hits[np.arange(n), best]
+        preds = np.where(best_hits > 0, np.array(langs, dtype=object)[best],
+                         "unknown")
+        confs = best_hits / np.maximum(1, totals)
         return pa.table(
             {
                 self.id_col: t[self.id_col],
-                "pred_lang": pa.array(preds, pa.string()),
+                "pred_lang": pa.array(preds.tolist(), pa.string()),
                 "confidence": pa.array(confs, pa.float64()),
             }
         )
