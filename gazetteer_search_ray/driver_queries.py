@@ -519,17 +519,9 @@ def _emb(sf_dir):
 
 def q_ann_topk(sf_dir):
     """Exact cosine top-10 for query vectors vec_id ∈ {0,1,2}."""
-    import pyarrow.parquet as pq
-
     from .pipelines.similarity import ann_topk_bruteforce
 
-    t = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    mask = np.isin(t["vec_id"].to_numpy(), [0, 1, 2])
-    qt = t.filter(pa.array(mask)).sort_by("vec_id")
-    qv = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
-    qids = qt["vec_id"].to_numpy()
+    qv, qids = _query_vecs(sf_dir)
     out = ann_topk_bruteforce(_emb(sf_dir), qv, k=10)
     out["qid"] = qids[out["qid"].to_numpy()]
     out["cosine"] = np.round(out["cosine"].astype(np.float64), 4)
@@ -538,11 +530,8 @@ def q_ann_topk(sf_dir):
     return out[["qid", "vec_id", "cosine"]]
 
 
-def q_ann_lsh(sf_dir):
-    """LSH-bucketed ANN (approximate — rows-only oracle)."""
+def _query_vecs(sf_dir):
     import pyarrow.parquet as pq
-
-    from .pipelines.similarity import ann_topk_lsh
 
     t = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
@@ -550,26 +539,39 @@ def q_ann_lsh(sf_dir):
     mask = np.isin(t["vec_id"].to_numpy(), [0, 1, 2])
     qt = t.filter(pa.array(mask)).sort_by("vec_id")
     qv = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
-    out = ann_topk_lsh(_emb(sf_dir), qv, k=10)
+    return qv, qt["vec_id"].to_numpy()
+
+
+def q_ann_lsh(sf_dir):
+    """LSH-bucketed ANN, full-probe configuration: probing every bucket
+    makes the bucketed path exhaustive, so the result must be
+    rank-identical to brute force — the SQL oracle therefore proves the
+    bucket partition + prune + distributed-scoring machinery loses and
+    duplicates nothing.  Approximation quality of the 1-probe config is
+    pytest-covered (``test_features.py`` recall bound)."""
+    from .pipelines.similarity import ann_topk_lsh
+
+    qv, qids = _query_vecs(sf_dir)
+    out = ann_topk_lsh(_emb(sf_dir), qv, k=10, multiprobe="all")
+    out["qid"] = qids[out["qid"].to_numpy()].astype(np.int64)
+    out["vec_id"] = out["vec_id"].astype(np.int64)
     out["cosine"] = np.round(out["cosine"].astype(np.float64), 4)
-    return out
+    return out[["qid", "vec_id", "cosine"]]
 
 
 def q_ann_ivf(sf_dir):
-    """IVF-clustered ANN (approximate — rows-only oracle)."""
-    import pyarrow.parquet as pq
-
+    """IVF ANN, nprobe = n_clusters: probing every centroid makes the
+    clustered path exhaustive — rank-identical to brute force, so the
+    SQL oracle proves assignment/probe/scoring drop nothing.  The
+    approximate (nprobe < n_clusters) recall is pytest-covered."""
     from .pipelines.similarity import ann_topk_ivf
 
-    t = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    mask = np.isin(t["vec_id"].to_numpy(), [0, 1, 2])
-    qt = t.filter(pa.array(mask)).sort_by("vec_id")
-    qv = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
-    out = ann_topk_ivf(_emb(sf_dir), qv, k=10, n_clusters=8, nprobe=3)
+    qv, qids = _query_vecs(sf_dir)
+    out = ann_topk_ivf(_emb(sf_dir), qv, k=10, n_clusters=8, nprobe=8)
+    out["qid"] = qids[out["qid"].to_numpy()].astype(np.int64)
+    out["vec_id"] = out["vec_id"].astype(np.int64)
     out["cosine"] = np.round(out["cosine"].astype(np.float64), 4)
-    return out
+    return out[["qid", "vec_id", "cosine"]]
 
 
 def q_emb_neardup(sf_dir):
@@ -642,6 +644,221 @@ def q_fingerprint(sf_dir):
     out["doc_id"] = out["doc_id"].astype(np.int64)
     out["fingerprint"] = out["fingerprint"].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# dedup-family oracles: the signature math is reproduced bit-for-bit in
+# SQL — ``_stable_hash64`` is md5 digest bytes [8:16] little-endian,
+# which IS DuckDB's ``md5_number_lower``; the (a*h+b) mod 2^64 mod p
+# permutation arithmetic runs in HUGEINT with the permutation parameters
+# (np.random.default_rng(7), same as MinHasher.__init__) embedded as a
+# literal VALUES table.  Banding (16 bands × 4 rows) becomes an exact
+# "all 4 signature rows of some band equal" pair predicate — the FNV
+# band-key fold in ``dedup.py`` is collision-free at oracle scale, so
+# the candidate sets coincide.
+# ---------------------------------------------------------------------------
+
+_P64 = "18446744073709551616"  # 2^64 (numpy uint64 wrap modulus)
+_MERS_SQL = "2305843009213693951"  # 2^61 - 1
+
+
+def _minhash_perm_values(num_perm: int = 64, seed: int = 7) -> str:
+    mers = np.uint64((1 << 61) - 1)
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, mers, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, mers, size=num_perm, dtype=np.uint64)
+    return ", ".join(
+        f"({i}, {int(a[i])}::HUGEINT, {int(b[i])}::HUGEINT)"
+        for i in range(num_perm)
+    )
+
+
+def _minhash_sig_ctes() -> str:
+    """CTE chain documents → whitespace shingles (n=3, distinct) →
+    md5-64 hash → 64-permutation MinHash signatures ``sigs(doc_id, pid,
+    sv)`` → full-band candidate pairs ``cand`` → ``est(doc_a, doc_b,
+    ej)``.  Shared by the dedup_minhash and dedup_ngram oracles."""
+    return f"""
+dt AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM dt, LATERAL (SELECT unnest(range(1, greatest(len(toks)-2, 1)+1)) AS i) g
+  WHERE len(toks) >= 1
+),
+shh AS (SELECT doc_id, md5_number_lower(shingle)::HUGEINT AS h FROM sh),
+perm(pid, a, b) AS (VALUES {_minhash_perm_values()}),
+sigs AS (
+  SELECT s.doc_id, p.pid,
+         min(((s.h * p.a + p.b) % {_P64}) % {_MERS_SQL}) AS sv
+  FROM shh s CROSS JOIN perm p GROUP BY s.doc_id, p.pid
+),
+bm AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.pid // 4 AS band
+  FROM sigs x JOIN sigs y ON x.pid = y.pid AND x.sv = y.sv AND x.doc_id < y.doc_id
+  GROUP BY 1, 2, 3 HAVING count(*) = 4
+),
+cand AS (SELECT DISTINCT doc_a, doc_b FROM bm),
+est AS (
+  SELECT c.doc_a, c.doc_b, sum(CASE WHEN sa.sv = sb.sv THEN 1 ELSE 0 END) / 64.0 AS ej
+  FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.pid = sa.pid
+  GROUP BY 1, 2
+)"""
+
+
+_SIMHASH_POW2 = ", ".join(f"({b}, {1 << b}::HUGEINT)" for b in range(64))
+
+DEDUP_SQL = {
+    "dedup_minhash": (
+        f"WITH {_minhash_sig_ctes()} "
+        "SELECT doc_a, doc_b, round(ej, 6) AS est_jaccard FROM est "
+        "WHERE ej >= 0.5 ORDER BY doc_a, doc_b"
+    ),
+    # hamming ≤ 3 over 4×16-bit bands: pigeonhole guarantees every such
+    # pair shares a full band, so the LSH candidate step is lossless and
+    # the oracle is simply "all pairs with hamming ≤ 3".
+    "dedup_simhash": (
+        f"""WITH tk AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w FROM documents
+),
+tk2 AS (SELECT doc_id, md5_number_lower(w)::HUGEINT AS h FROM tk WHERE w <> ''),
+pw(b, p2) AS (VALUES {_SIMHASH_POW2}),
+bits AS (
+  SELECT doc_id, b,
+         CASE WHEN sum(CASE WHEN (h // p2) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+  FROM tk2 CROSS JOIN pw GROUP BY doc_id, b
+),
+ham AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS hamming
+  FROM bits x JOIN bits y ON x.b = y.b AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, hamming::BIGINT AS hamming FROM ham WHERE hamming <= 3
+ORDER BY doc_a, doc_b"""
+    ),
+    # exact n-gram Jaccard over the MinHash candidates (est ≥ 0.3):
+    # intersection/union of the DISTINCT shingle-string sets — identical
+    # to the pipeline's hashed-shingle Jaccard modulo md5-64 collisions.
+    "dedup_ngram": (
+        f"WITH {_minhash_sig_ctes()}, "
+        """cand3 AS (SELECT doc_a, doc_b FROM est WHERE ej >= 0.3),
+szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+ints AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand3 c JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT c.doc_a, c.doc_b,
+         coalesce(i.i, 0)::DOUBLE / (sa.sz + sb.sz - coalesce(i.i, 0)) AS j
+  FROM cand3 c
+  LEFT JOIN ints i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN szs sa ON sa.doc_id = c.doc_a JOIN szs sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM jac WHERE j >= 0.8
+ORDER BY doc_a, doc_b"""
+    ),
+}
+
+
+# ---------------------------------------------------------------------------
+# textstats oracles: lang_id (stopword membership as a VALUES join),
+# fingerprint (the Rabin-Karp window hash with B^k mod 2^64 constants
+# embedded; corpus text is ASCII so ord() == byte), approx_distinct
+# (the full HLL: md5-64 registers, rank via binary format length,
+# harmonic estimate + linear-counting correction).
+# ---------------------------------------------------------------------------
+
+from .pipelines.textstats import STOPWORDS as _STOPWORDS
+
+_LANGID_SW = ", ".join(
+    f"('{lang}', {li}, '{w}')"
+    for li, lang in enumerate(_STOPWORDS)
+    for w in sorted(_STOPWORDS[lang])
+)
+
+_FP_WINDOW = 8
+_FP_POWS = [pow(1000003, k, 2**64) for k in range(_FP_WINDOW - 1, -1, -1)]
+_FP_TERMS = " + ".join(
+    f"ord(substr(text, i+{j}, 1))::HUGEINT * {_FP_POWS[j]}::HUGEINT"
+    for j in range(_FP_WINDOW)
+)
+
+_HLL_P = 12
+_HLL_M = 1 << _HLL_P
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+
+TEXTSTATS_SQL = {
+    "lang_id": (
+        f"""WITH tokl AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w FROM documents
+),
+tok AS (SELECT doc_id, w FROM tokl WHERE w <> ''),
+sw(lang, ord, w) AS (VALUES {_LANGID_SW}),
+totals AS (SELECT doc_id, count(*) AS tot FROM tok GROUP BY doc_id),
+hits AS (
+  SELECT t.doc_id, s.lang, s.ord, count(*) AS c
+  FROM tok t JOIN sw s ON t.w = s.w GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT doc_id, lang, c,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, ord) AS rn
+  FROM hits
+)
+SELECT d.doc_id, coalesce(b.lang, 'unknown') AS pred_lang,
+       round(coalesce(b.c, 0)::DOUBLE / greatest(coalesce(tt.tot, 0), 1), 6) AS confidence
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.doc_id = d.doc_id
+LEFT JOIN totals tt ON tt.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+    ),
+    "fingerprint": (
+        f"""WITH wins AS (
+  SELECT doc_id, (({_FP_TERMS}) % {_P64}) AS h
+  FROM documents, LATERAL (SELECT unnest(range(1, length(text) - {_FP_WINDOW} + 2)) AS i) g
+  WHERE length(text) >= {_FP_WINDOW}
+),
+m AS (SELECT doc_id, min(h) AS mh FROM wins GROUP BY doc_id)
+SELECT doc_id,
+       (CASE WHEN mh >= 9223372036854775808 THEN mh - {_P64} ELSE mh END)::BIGINT AS fingerprint
+FROM m ORDER BY doc_id"""
+    ),
+    "approx_distinct": (
+        f"""WITH h AS (
+  SELECT lang, md5_number_lower(text)::HUGEINT AS hv FROM documents
+),
+rr AS (SELECT lang, (hv // {1 << (64 - _HLL_P)}) AS idx, (hv % {1 << (64 - _HLL_P)}) AS rest FROM h),
+rk AS (
+  SELECT lang, idx,
+         max(CASE WHEN rest = 0 THEN {64 - _HLL_P + 1}
+             ELSE {64 - _HLL_P} - length(format('{{:b}}', rest::BIGINT)) + 1 END) AS rank
+  FROM rr GROUP BY lang, idx
+),
+grid AS (
+  SELECT l.lang, g.i FROM (SELECT DISTINCT lang FROM documents) l,
+       (SELECT unnest(range(0, {_HLL_M})) AS i) g
+),
+full_regs AS (
+  SELECT grid.lang, grid.i, coalesce(rk.rank, 0) AS rank
+  FROM grid LEFT JOIN rk ON rk.lang = grid.lang AND rk.idx = grid.i
+),
+est AS (
+  SELECT lang,
+         ({_HLL_ALPHA!r}::DOUBLE * {_HLL_M}.0 * {_HLL_M}.0) / sum(power(2.0, -rank)) AS e,
+         sum(CASE WHEN rank = 0 THEN 1 ELSE 0 END) AS zeros
+  FROM full_regs GROUP BY lang
+)
+SELECT lang,
+       CAST(round(CASE WHEN e <= {2.5 * _HLL_M} AND zeros > 0
+                  THEN {_HLL_M}.0 * ln({_HLL_M}.0 / zeros) ELSE e END) AS BIGINT) AS approx_distinct
+FROM est ORDER BY lang"""
+    ),
+}
 
 
 EXTRA_SQL = {
@@ -769,9 +986,17 @@ def all_queries() -> dict:
 
 
 def all_oracle_sql() -> dict:
-    # dedup_minhash / dedup_simhash / dedup_ngram / ann_lsh / lang_id /
-    # fingerprint are not SQL-expressible → rows-only driver check
-    return {**SEARCH_SQL, **EXTRA_SQL, **FUZZY_RANGE_SQL, **WINDOW_SQL}
+    # every queries() entry has a DuckDB oracle: the dedup family
+    # reproduces the md5-64 signature math in SQL (DEDUP_SQL), the ANN
+    # variants run in their exhaustive-probe configurations (equal to
+    # brute force iff the partition machinery is lossless), lang_id /
+    # fingerprint / approx_distinct replicate the exact hash arithmetic,
+    # and mass_eval recomputes the search cascade per eval query.
+    sql = {**SEARCH_SQL, **EXTRA_SQL, **DEDUP_SQL, **TEXTSTATS_SQL,
+           **MASS_EVAL_SQL, **FUZZY_RANGE_SQL, **WINDOW_SQL}
+    sql["ann_lsh"] = EXTRA_SQL["ann_topk"]  # full probe ≡ brute force
+    sql["ann_ivf"] = EXTRA_SQL["ann_topk"]  # nprobe=n_clusters ≡ brute force
+    return sql
 
 
 # ---------------------------------------------------------------------------
@@ -832,22 +1057,86 @@ def q_bm25_box(sf_dir):
     )
 
 
+EVAL_QUERIES = ["dup", "scan sort", "merge window query", "zzzznope"]
+
+
 def q_mass_eval(sf_dir):
-    """G5 mass-geocode evaluation (self-consistency run; rows-only)."""
+    """G5 mass-geocode evaluation (``csv/CSVGeocode.java:62-179``):
+    fixed query set through the eval pipeline, per-query comparison
+    rows.  Expected answers are the engine's own cascade top-1
+    (self-consistency), but the SQL oracle recomputes BOTH the expected
+    and the result column via the full coalesce cascade in SQL — a hash
+    match therefore proves the engine's cascade top-1 doc and score
+    equal the SQL cascade on every query (including the no-hit row)."""
     import ray.data as rd
 
     from .pipelines.geocode import mass_eval
 
     s = get_searcher(sf_dir)
     rows = []
-    for i, q in enumerate(["dup", "scan sort", "merge window query", "zzzznope"]):
+    for i, q in enumerate(EVAL_QUERIES):
         hits = s.search(q, k=5, use_prior=False)
         rows.append(
             {"qid": i, "q": q,
              "expected_doc_id": hits[0]["doc_id"] if hits else -1}
         )
-    summary = mass_eval(rd.from_items(rows), index_dir_for(sf_dir), k=5)
-    return pd.DataFrame([summary])
+    pdf = mass_eval(rd.from_items(rows), index_dir_for(sf_dir), k=5,
+                    return_rows=True)
+    out = pd.DataFrame(
+        {
+            "qid": pdf["qid"].astype(np.int64),
+            "q": pdf["q"].astype(str),
+            "expected_doc_id": pdf["expected"].fillna(-1).astype(np.int64),
+            "top_doc": pdf["top_doc"].fillna(-1).astype(np.int64),
+            "top_score": np.round(pdf["top_score"].fillna(0.0).astype(np.float64), 6),
+            "top1_match": pdf["match_top"].astype(bool),
+            "page_match": pdf["match_page"].astype(bool),
+        }
+    )
+    return out.sort_values("qid").reset_index(drop=True)
+
+
+def _cascade_sql_blocks() -> str:
+    """Per-eval-query coalesce-cascade CTEs: one scored CTE per query's
+    term set, then a 3-level (all-terms AND → msm≥2 → msm≥1) pick of
+    the first non-empty top-1 — the exact ``build_cascade`` +
+    first-non-empty semantics of ``Searcher.search``."""
+    blocks, rows = [], []
+    for i, q in enumerate(EVAL_QUERIES):
+        terms = [t for t in q.lower().split() if t]
+        n = len(terms)
+        blocks.append(
+            f"""d{i} AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+       WHERE term IN ({_sql_terms(terms)}) GROUP BY term),
+s{i} AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - d{i}.df + 0.5)/(d{i}.df + 0.5))
+              * tf.tf * {K1 + 1.0} / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score,
+         count(*) AS nm
+  FROM tf JOIN d{i} ON tf.term = d{i}.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+top{i} AS (
+  SELECT doc_id, score FROM (
+    SELECT 1 AS lvl, doc_id, score FROM s{i} WHERE nm >= {n}
+    UNION ALL SELECT 2, doc_id, score FROM s{i} WHERE nm >= 2
+    UNION ALL SELECT 3, doc_id, score FROM s{i} WHERE nm >= 1
+  ) ORDER BY lvl, score DESC, doc_id LIMIT 1
+)"""
+        )
+        rows.append(
+            f"SELECT {i} AS qid, '{q}' AS q, "
+            f"coalesce((SELECT doc_id FROM top{i}), -1) AS expected_doc_id, "
+            f"coalesce((SELECT doc_id FROM top{i}), -1) AS top_doc, "
+            f"coalesce((SELECT round(score, 6) FROM top{i}), 0.0) AS top_score, "
+            f"(SELECT count(*) FROM top{i}) > 0 AS top1_match, "
+            f"(SELECT count(*) FROM top{i}) > 0 AS page_match"
+        )
+    return ",\n".join(blocks) + " " + " UNION ALL ".join(rows) + " ORDER BY qid"
+
+
+MASS_EVAL_SQL = {"mass_eval": f"WITH {BM25_CTE}, {_cascade_sql_blocks()}"}
 
 
 FUZZY_RANGE_SQL = {

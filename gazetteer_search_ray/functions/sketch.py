@@ -17,11 +17,15 @@ import numpy as np
 
 
 def hash64(values: list[str]) -> np.ndarray:
-    """Stable 64-bit hashes for string values (blake2b)."""
+    """Stable 64-bit hashes for string values: md5 digest bytes [8:16]
+    little-endian = DuckDB ``md5_number_lower`` — the HLL registers are
+    therefore reproducible in the SQL oracle."""
     return np.array(
         [
-            int.from_bytes(hashlib.blake2b(v.encode("utf-8", "surrogatepass"),
-                                           digest_size=8).digest(), "big")
+            int.from_bytes(
+                hashlib.md5(v.encode("utf-8", "surrogatepass")).digest()[8:16],
+                "little",
+            )
             for v in values
         ],
         dtype=np.uint64,

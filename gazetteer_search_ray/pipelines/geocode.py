@@ -73,8 +73,11 @@ def mass_eval(
     out_dir: str | None = None,
     k: int = 10,
     concurrency: int = 2,
-) -> dict:
-    """Run the eval pipeline; returns summary metrics.
+    return_rows: bool = False,
+):
+    """Run the eval pipeline; returns summary metrics (or, with
+    ``return_rows``, the per-query result frame the summary is
+    aggregated from — the driver-oracle surface).
 
     ``queries_ds``: Dataset with columns (qid, q[, expected_doc_id]) —
     e.g. ``ray.data.read_csv(path)`` (reference S5).  When ``out_dir``
@@ -93,6 +96,8 @@ def mass_eval(
         res = res.materialize()
         res.write_csv(os.path.join(out_dir, "results"))
     pdf = res.to_pandas()
+    if return_rows:
+        return pdf
     n = len(pdf)
     evaluated = pdf["expected"].notna()
     summary = {

@@ -44,22 +44,37 @@ def backfill_column(index_dir: str, values: dict[int, object], column: str,
     """Write ``column`` into every doc-store segment (doc_id → value).
 
     One Ray task per docmeta file, the value map broadcast once with
-    ``ray.put`` (not re-shipped per file); each file is replaced
-    atomically so a crashed backfill resumes safely.  Returns rows
-    touched.
+    ``ray.put`` as a (sorted doc_id array, Arrow value array) pair (not
+    re-shipped per file); each file applies it with one vectorized
+    searchsorted gather + ``Array.take`` — no per-row Python.  Files are
+    replaced atomically so a crashed backfill resumes safely.  Returns
+    rows touched.
     """
+    import numpy as np
     import ray
 
-    ref = ray.put(values)
+    keys = np.array(sorted(values), dtype=np.int64)
+    vals_arr = pa.array([values[int(k)] for k in keys])
+    ref = ray.put((keys, vals_arr, pa.array([default]).type))
 
     @ray.remote
     def rewrite(path: str) -> int:
         t = pq.read_table(path)
-        lookup = ray.get(ref)
-        vals = [lookup.get(int(d), default) for d in t["doc_id"].to_pylist()]
+        keys, vals_arr, def_type = ray.get(ref)  # plasma-local, zero-copy
+        d = t["doc_id"].to_numpy()
+        if keys.size:
+            import pyarrow.compute as pc
+
+            pos = np.minimum(np.searchsorted(keys, d), keys.size - 1)
+            hit = keys[pos] == d
+            # miss rows take through a null index, then fill the default
+            idx = pa.array(np.where(hit, pos, 0).astype(np.int64), mask=~hit)
+            col = pc.fill_null(vals_arr.take(idx), default)
+        else:
+            col = pa.array([default] * t.num_rows, def_type)
         if column in t.column_names:
             t = t.drop_columns([column])
-        t = t.append_column(column, pa.array(vals))
+        t = t.append_column(column, col)
         mf.atomic_write_table(t, path)
         return t.num_rows
 

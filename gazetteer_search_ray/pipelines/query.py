@@ -210,7 +210,11 @@ class QueryEngine:
         self._filter_cache: dict[tuple, np.ndarray] = {}
         self._ub_cache: dict[str, float] = {}
         self._pos_cache: dict[str, np.ndarray] = {}
-        # reusable dense accumulator (one per engine ≙ per actor)
+        # reusable dense accumulator (one per engine ≙ per actor); the
+        # dense path is only entered when the accumulator fits the
+        # per-actor budget (float64/doc: 32M docs ≙ 256 MB) — giant
+        # shards stay on the sparse pruned path however hot the terms
+        self.dense_doc_cap: int = 32_000_000
         self._acc: np.ndarray | None = None
         # term → GLOBAL doc frequency, injected by a sharded-query
         # coordinator (ES dfs_query_then_fetch analog): a shard actor's
@@ -437,7 +441,7 @@ class QueryEngine:
         n = self.reader.doc_ids.size
         if (
             getattr(self, "dense_enabled", True)
-            and 0 < n <= 50_000_000
+            and 0 < n <= self.dense_doc_cap
             and self._bool_mass(node) * 4 >= n
         ):
             return self._eval_bool_dense(node)
@@ -713,7 +717,8 @@ class QueryEngine:
         # the dense accumulator than through sort-based merges; rare-term
         # queries stay on the pruned sparse path below
         total_df = sum(tp.df for _, tp, _ in infos)
-        if total_df * 4 >= self.reader.n_docs > 0:
+        if (total_df * 4 >= self.reader.n_docs > 0
+                and self.reader.doc_ids.size <= self.dense_doc_cap):
             return self._topk_dense(infos, k, filter_docs)
         ubs = np.array([x[2] for x in infos])
         docs = EMPTY_I

@@ -43,14 +43,56 @@ def distinct_first_by_key(ds, keys: list[str], order_col: str = "doc_id"):
 
 def name_agg_index(ds, keys: list[str], order_col: str = "doc_id",
                    out_col: str = "by_name_agg_index"):
-    """Running 0..n-1 index per key group in deterministic order (M15)."""
+    """Running 0..n-1 index per key group in deterministic order (M15,
+    ``ImportObjectParser.java:215-237``).
 
-    def cumcount(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_col, kind="stable")
-        g[out_col] = np.arange(len(g), dtype=np.int64)
-        return g
+    ``sort(keys + order_col)`` range exchange, then ONE vectorized pass
+    per sorted block: interior key-runs (complete groups) get their
+    ``np.arange`` cumcount locally; only each block's first/last run —
+    the runs that can straddle block boundaries — pass through to a
+    small driver-side rebase (the postings-merge boundary pattern,
+    ``stages/postings.py:78-128``).  Replaces the per-group pandas
+    ``map_groups`` callback (~10 ms/group measured, fatal at 10^4+
+    groups — ``dedup.py`` finding).  Boundary volume is
+    O(#blocks × straddling-group size): a single hot key spanning many
+    blocks degrades to a driver-side cumcount of that key only.
+    """
+    import ray.data as rd
 
-    return ds.groupby(keys).map_groups(cumcount, batch_format="pandas")
+    def emit(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for k in keys:
+            c = t[k].to_numpy(zero_copy_only=False)
+            change[1:] |= c[1:] != c[:-1]
+        heads = np.flatnonzero(change)
+        run_id = np.cumsum(change) - 1
+        cum = np.arange(n, dtype=np.int64) - heads[run_id]
+        if heads.size <= 2:  # ≤2 runs: everything may straddle
+            cum[:] = -1
+        else:
+            cum[: heads[1]] = -1
+            cum[heads[-1]:] = -1
+        return t.append_column(out_col, pa.array(cum))
+
+    mixed = ds.sort(keys + [order_col]).map_batches(
+        emit, batch_format="pyarrow"
+    ).materialize()
+    fin = mixed.map_batches(
+        lambda t: t.filter(pc.greater_equal(t[out_col], 0)),
+        batch_format="pyarrow",
+    )
+    bnd = mixed.map_batches(
+        lambda t: t.filter(pc.less(t[out_col], 0)), batch_format="pyarrow"
+    ).to_pandas()
+    if bnd.empty:
+        return fin
+    bnd = bnd.sort_values(keys + [order_col], kind="mergesort")
+    bnd[out_col] = bnd.groupby(keys, sort=False).cumcount().astype(np.int64)
+    return fin.union(rd.from_pandas(bnd))
 
 
 def join_aggregate_counts(

@@ -154,7 +154,7 @@ def build_lsh_index(ds, path: str, planes: int = 8, vec_col: str = "embedding",
 
 def ann_topk_lsh(ds, query_vecs: np.ndarray, k: int = 10, planes: int = 8,
                  vec_col: str = "embedding", id_col: str = "vec_id", seed: int = 11,
-                 multiprobe: int = 1, index_path: str | None = None):
+                 multiprobe: int | str = 1, index_path: str | None = None):
     """Approximate cosine top-k via random-hyperplane buckets.
 
     Candidates = rows in a query's bucket or any 1-bit-flip neighbor
@@ -162,6 +162,12 @@ def ann_topk_lsh(ds, query_vecs: np.ndarray, k: int = 10, planes: int = 8,
     stage.  With ``index_path`` (from :func:`build_lsh_index`) the scan
     reads only the probed bucket partitions instead of bucketizing the
     corpus per query set.
+
+    ``multiprobe="all"`` probes every bucket — the result is then
+    rank-identical to :func:`ann_topk_bruteforce` *iff* the bucket
+    partition neither drops nor duplicates vectors, which is exactly
+    what the driver's SQL oracle checks; approximation quality of the
+    1-probe configuration is covered by the recall pytest.
     """
     import pyarrow.compute as pc
 
@@ -171,11 +177,14 @@ def ann_topk_lsh(ds, query_vecs: np.ndarray, k: int = 10, planes: int = 8,
     qbits = (q @ H) > 0
     qbuckets = (qbits @ (1 << np.arange(planes))).astype(np.int64)
     probe: set[int] = set()
-    for qb in qbuckets.tolist():
-        probe.add(qb)
-        if multiprobe >= 1:
-            for p in range(planes):
-                probe.add(qb ^ (1 << p))
+    if multiprobe == "all":
+        probe.update(range(1 << planes))
+    else:
+        for qb in qbuckets.tolist():
+            probe.add(qb)
+            if multiprobe >= 1:
+                for p in range(planes):
+                    probe.add(qb ^ (1 << p))
     probe_arr = sorted(probe)
 
     if index_path is not None:
@@ -212,18 +221,38 @@ def ann_topk_lsh(ds, query_vecs: np.ndarray, k: int = 10, planes: int = 8,
 
 def embedding_neardup_pairs(ds, threshold: float = 0.95,
                             vec_col: str = "embedding", id_col: str = "vec_id",
-                            block_rows: int = 8192):
-    """All pairs with cosine ≥ threshold (vec_a < vec_b). EXACT.
+                            block_rows: int = 8192,
+                            exact_limit: int = 100_000,
+                            planes: int = 8, tables: int = 4, seed: int = 11):
+    """All pairs with cosine ≥ threshold (vec_a < vec_b).
 
-    Blocked pairwise matmul: normalize once into object-store blocks
-    (``to_arrow_refs`` — blocks never concatenate on the driver), then
-    one Ray task per block pair (i ≤ j).  Each task holds exactly two
-    blocks; results are the (small) threshold-passing pairs.  At 100-TB
-    scale the same code shape applies with an LSH/IVF pre-bucket
-    replacing the all-pairs block grid (see :func:`ann_topk_lsh`);
-    exact all-pairs is the oracle-checkable contract here.
+    Two regimes:
+
+    * ≤ ``exact_limit`` rows — EXACT blocked pairwise matmul (the
+      oracle-checkable contract; every block pair is one Ray task).
+    * above it — multi-table hyperplane LSH pre-bucket: ``tables``
+      independent ``planes``-bit bucketings; each vector emits 16-byte
+      ``(band_key, id)`` rows for its own bucket plus every 1-bit-flip
+      neighbor with a higher bucket value (so a pair whose buckets
+      differ by ≤ 1 bit is generated exactly once per table).  The rows
+      go through the SAME distributed ``sort(band_key)`` + vectorized
+      run-expansion shuffle as MinHash dedup
+      (``dedup._pairs_from_band_rows``); candidates are then verified
+      with exact cosines over a candidate-bounded vector gather.  Task
+      count is O(N·tables·planes / block) — not O((N/B)²) — and driver
+      memory is O(candidate pairs).  Reported pairs are exact (every
+      cosine is re-computed); recall is bounded by the probability that
+      a qualifying pair splits ≥ 2 bits in ALL tables — at the 0.95
+      threshold with 8 planes × 4 tables that is ≈ 10⁻³ (recall
+      pytest-checked with planted duplicates).
     """
     import ray
+
+    if ds.count() > exact_limit:
+        return _embedding_neardup_lsh(
+            ds, threshold, vec_col, id_col,
+            planes=planes, tables=tables, seed=seed,
+        )
 
     def norm_block(batch: pa.Table) -> pa.Table:
         m = _normalize(_emb_matrix(batch, vec_col))
@@ -278,6 +307,90 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95,
     # i==j diagonal task already emits a<b only; cross tasks may emit a
     # pair once from (i,j) — pairs are unique by construction, just sort
     return res.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def _embedding_neardup_lsh(ds, threshold: float, vec_col: str, id_col: str,
+                           planes: int = 8, tables: int = 4, seed: int = 11,
+                           max_bucket: int = 4000):
+    """LSH-bucketed near-dup pair scan (the >exact_limit regime of
+    :func:`embedding_neardup_pairs`); see its docstring for the shape.
+    """
+    import ray
+
+    from .dedup import _gather_rows, _pairs_from_band_rows
+
+    first = ds.limit(1).to_pandas()
+    dim = len(first[vec_col].iloc[0])
+    rng = np.random.default_rng(seed)
+    # one independent hyperplane set per table
+    H = rng.standard_normal((tables, dim, planes))
+    H_ref = ray.put(H)
+    shifts = 1 << np.arange(planes)
+
+    def norm_block(batch: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(batch, vec_col))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "nvec": pa.array(m.tolist(), pa.list_(pa.float64())),
+            }
+        )
+
+    norm = ds.select_columns([id_col, vec_col]).map_batches(
+        norm_block, batch_format="pyarrow"
+    ).materialize()
+
+    def emit_bands(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"bkey": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        planes_mats = ray.get(H_ref)
+        m = _emb_matrix(batch, "nvec")
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        out_k, out_i = [], []
+        for t in range(tables):
+            bits = (m @ planes_mats[t]) > 0
+            bkt = (bits @ shifts).astype(np.int64)
+            salt = np.int64(t) << np.int64(planes + 1)
+            out_k.append(salt | bkt)
+            out_i.append(ids)
+            for p in range(planes):
+                flipped = bkt ^ (1 << p)
+                hi = flipped > bkt  # emit only toward the higher bucket
+                out_k.append(salt | flipped[hi])
+                out_i.append(ids[hi])
+        return pa.table(
+            {
+                "bkey": pa.array(np.concatenate(out_k)),
+                "doc_id": pa.array(np.concatenate(out_i)),
+            }
+        )
+
+    band_ds = norm.map_batches(emit_bands, batch_format="pyarrow")
+    pairs = _pairs_from_band_rows(band_ds, max_bucket=max_bucket)
+
+    empty = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                          "vec_b": pd.Series([], dtype="int64"),
+                          "cosine": pd.Series([], dtype="float64")})
+    if pairs.size == 0:
+        return empty
+
+    cand = _gather_rows(norm, id_col, pairs.ravel(), [id_col, "nvec"])
+    cand_ids = cand[id_col].to_numpy(np.int64)
+    order = np.argsort(cand_ids)
+    cand_ids = cand_ids[order]
+    mat = np.array(cand["nvec"].tolist(), dtype=np.float64)[order]
+    ia = np.searchsorted(cand_ids, pairs[:, 0])
+    ib = np.searchsorted(cand_ids, pairs[:, 1])
+    cos = np.einsum("ij,ij->i", mat[ia], mat[ib])
+    keep = cos >= threshold
+    return (
+        pd.DataFrame({"vec_a": pairs[keep, 0], "vec_b": pairs[keep, 1],
+                      "cosine": cos[keep]})
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
 
 
 def ivf_train(ds, n_clusters: int = 16, iters: int = 5,

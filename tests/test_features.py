@@ -116,6 +116,27 @@ def test_dense_bool_matches_sparse(searcher):
         np.testing.assert_array_equal(ds_, ss)  # bit-identical floats
 
 
+def test_dense_doc_cap_guards_accumulator(searcher):
+    """`dense_doc_cap` bounds the per-actor accumulator: with the cap
+    below the shard's doc count both dense paths (boolean eval and
+    disjunction top-k) must fall back to sparse and stay identical."""
+    from gazetteer_search_ray.pipelines.query import Bool, Term
+
+    eng = searcher.engine
+    plan = Bool(should=(Term("def"), Term("class"), Term("import")))
+    d0, s0 = eng.top_k(plan, 20)
+    old = eng.dense_doc_cap
+    try:
+        eng.dense_doc_cap = 0  # force the sparse path everywhere
+        eng._acc = None
+        d1, s1 = eng.top_k(plan, 20)
+        assert eng._acc is None  # dense accumulator never allocated
+    finally:
+        eng.dense_doc_cap = old
+    np.testing.assert_array_equal(d0, d1)
+    np.testing.assert_array_equal(s0, s1)
+
+
 def test_matched_queries_attribution(searcher):
     """Named-part bookkeeping (reference `_name` tags →
     ResultsWrapper.matched_queries; drives the Q16 trim)."""

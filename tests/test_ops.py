@@ -457,3 +457,65 @@ def test_parse_first_number(ray_session):
     ]
     out = parse_first_number(rd.from_items(rows), "hn").to_pandas().set_index("i")
     assert out["housenumber_number"].tolist() == [12, 7, -1, 123]
+
+
+def test_embedding_neardup_lsh_matches_exact_on_planted(ray_session):
+    """The >exact_limit LSH regime: every reported pair is an exact
+    cosine (subset of the exact-grid output) and planted near-dups are
+    recalled through the multi-table band shuffle."""
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.similarity import embedding_neardup_pairs
+
+    rng = np.random.default_rng(23)
+    n, d = 600, 16
+    m = rng.standard_normal((n, d))
+    planted = [(i, 300 + i) for i in range(40)]
+    for a, b in planted:
+        m[b] = m[a] + rng.standard_normal(d) * 0.02  # cosine ≈ 0.9998
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": m[i].tolist()} for i in range(n)]
+    )
+    exact = embedding_neardup_pairs(ds, threshold=0.95)  # n ≤ exact_limit
+    lsh = embedding_neardup_pairs(ds, threshold=0.95, exact_limit=0,
+                                  planes=8, tables=4)
+    ep = set(map(tuple, exact[["vec_a", "vec_b"]].values.tolist()))
+    lp = set(map(tuple, lsh[["vec_a", "vec_b"]].values.tolist()))
+    assert lp <= ep  # exact verification → no false positives
+    assert sum((a, b) in lp for a, b in planted) >= 38  # ≥95% planted recall
+    e = exact.set_index(["vec_a", "vec_b"])["cosine"]
+    l = lsh.set_index(["vec_a", "vec_b"])["cosine"]
+    for key in lp:
+        assert abs(e.loc[key] - l.loc[key]) < 1e-9
+
+
+def test_name_agg_index_vectorized_many_groups(ray_session):
+    """10^5 groups through the sorted-run cumcount path: correct vs a
+    pandas groupby.cumcount reference and fast (no per-group callbacks
+    — the old map_groups path costs ~10 ms/group ≙ ~17 min here)."""
+    import time
+
+    import pandas as pd
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.relational import name_agg_index
+
+    n_groups, per = 100_000, 3
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "doc_id": rng.permutation(n_groups * per),
+            "k": np.repeat(np.arange(n_groups), per)[
+                rng.permutation(n_groups * per)
+            ],
+        }
+    )
+    t0 = time.monotonic()
+    out = name_agg_index(rd.from_pandas(df).repartition(8), ["k"]).to_pandas()
+    dt = time.monotonic() - t0
+    exp_df = df.sort_values(["k", "doc_id"], kind="mergesort")
+    exp_df["e"] = exp_df.groupby("k", sort=False).cumcount()
+    exp = exp_df.set_index("doc_id")["e"].sort_index()
+    got = out.set_index("doc_id")["by_name_agg_index"].sort_index()
+    assert (got.to_numpy() == exp.to_numpy()).all()
+    assert dt < 120, f"vectorized cumcount too slow: {dt:.1f}s"
