@@ -6,8 +6,10 @@ struct; decode / feature-extract / resize / frame-sample are actor-pool
 ``map_batches`` stages:
 
 * **PPM (P6)** and **uncompressed 24-bit BMP** decode in pure numpy;
+* **PNG (8-bit RGB/RGBA, filters 0-4)** encodes/decodes with stdlib
+  ``zlib`` + numpy unfiltering — a real compressed-image codec;
 * **WAV (PCM16)** decodes with the stdlib ``wave`` module;
-* JPEG/PNG/MP3/H264 genuinely need external codecs absent from this
+* JPEG/MP3/H264 genuinely need external codecs absent from this
   container — those formats raise ``NotImplementedError`` (clearly
   marked), and ``fake=True`` substitutes a deterministic payload-hash
   feature so downstream plumbing stays testable for any format;
@@ -111,6 +113,147 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return rows[:, :, ::-1].copy()  # BGR → RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """(H, W, 3) uint8 RGB → PNG (8-bit truecolor, stdlib zlib).
+
+    ``filter_type`` selects the per-scanline filter (0=None 1=Sub 2=Up
+    3=Average 4=Paeth) — mainly for exercising the decoder's unfilter
+    paths; 0 is the fast default.
+    """
+    import zlib
+
+    h, w, c = img.shape
+    assert c == 3
+    img = img.astype(np.uint8)
+    rows = []
+    prior = np.zeros(w * 3, dtype=np.uint8)
+    for r in range(h):
+        line = img[r].reshape(-1)
+        if filter_type == 0:
+            filt = line
+        elif filter_type == 1:  # Sub
+            left = np.concatenate([np.zeros(3, np.uint8), line[:-3]])
+            filt = line - left
+        elif filter_type == 2:  # Up
+            filt = line - prior
+        elif filter_type == 3:  # Average
+            left = np.concatenate([np.zeros(3, np.uint8), line[:-3]])
+            filt = line - ((left.astype(np.uint16) + prior) // 2).astype(np.uint8)
+        elif filter_type == 4:  # Paeth
+            left = np.concatenate([np.zeros(3, np.uint8), line[:-3]])
+            ul = np.concatenate([np.zeros(3, np.uint8), prior[:-3]])
+            filt = line - _paeth(left, prior, ul)
+        else:
+            raise ValueError(filter_type)
+        rows.append(bytes([filter_type]) + filt.tobytes())
+        prior = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """PNG Paeth predictor, vectorized (a=left, b=up, c=up-left)."""
+    ai, bi, ci = (x.astype(np.int16) for x in (a, b, c))
+    p = ai + bi - ci
+    pa_, pb, pc_ = np.abs(p - ai), np.abs(p - bi), np.abs(p - ci)
+    out = np.where((pa_ <= pb) & (pa_ <= pc_), a, np.where(pb <= pc_, b, c))
+    return out.astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → (H, W, 3) uint8 RGB; stdlib zlib + numpy unfiltering.
+
+    Supports 8-bit truecolor (type 2) and truecolor+alpha (type 6,
+    alpha dropped), non-interlaced — the formats the encoder side of a
+    training pipeline actually emits; everything else raises
+    ``NotImplementedError`` with the exact unsupported feature.
+    """
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, [], None
+    while pos < len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    w, h, depth, ctype, comp, filt, interlace = meta
+    if depth != 8 or ctype not in (2, 6) or comp != 0 or filt != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={ctype} not supported (8-bit RGB/RGBA only)"
+        )
+    if interlace != 0:
+        raise NotImplementedError("interlaced PNG not supported")
+    bpp = 3 if ctype == 2 else 4
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * bpp
+    raw = raw.reshape(h, stride + 1)
+    ftypes, lines = raw[:, 0], raw[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    zpad = np.zeros(bpp, np.uint8)
+    for r in range(h):
+        ft, line = int(ftypes[r]), lines[r]
+        if ft == 0:
+            rec = line.copy()
+        elif ft == 1:  # Sub: per-lane cumulative sum mod 256
+            rec = np.cumsum(
+                line.reshape(-1, bpp).astype(np.uint64), axis=0
+            ).astype(np.uint8).reshape(-1)
+        elif ft == 2:  # Up
+            rec = line + prior
+        elif ft == 3:  # Average (left-sequential per pixel)
+            rec = np.empty(stride, np.uint8)
+            left = zpad
+            for x in range(0, stride, bpp):
+                px = line[x : x + bpp] + (
+                    (left.astype(np.uint16) + prior[x : x + bpp]) // 2
+                ).astype(np.uint8)
+                rec[x : x + bpp] = px
+                left = px
+        elif ft == 4:  # Paeth (left-sequential per pixel)
+            rec = np.empty(stride, np.uint8)
+            left = ul = zpad
+            for x in range(0, stride, bpp):
+                up = prior[x : x + bpp]
+                px = line[x : x + bpp] + _paeth(left, up, ul)
+                rec[x : x + bpp] = px
+                left, ul = px, up
+            # note: ul for pixel x is prior[x-bpp]; tracked via the loop
+        else:
+            raise NotImplementedError(f"PNG filter {ft}")
+        out[r] = rec
+        prior = rec
+    img = out.reshape(h, w, bpp)
+    return img[:, :, :3].copy()
+
+
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     """int16 mono samples → WAV bytes (stdlib ``wave``)."""
     buf = io.BytesIO()
@@ -178,10 +321,10 @@ def audio_features(x: np.ndarray, rate: int, bands: int = 4) -> np.ndarray:
 
 
 def make_media_table(n: int = 16, seed: int = 42, fmt: str = "ppm") -> pa.Table:
-    """Deterministic image corpus with REAL ppm/bmp payloads."""
+    """Deterministic image corpus with REAL ppm/bmp/png payloads."""
     rng = np.random.default_rng(seed)
     ids, payloads, meta = [], [], []
-    enc = {"ppm": encode_ppm, "bmp": encode_bmp}[fmt]
+    enc = {"ppm": encode_ppm, "bmp": encode_bmp, "png": encode_png}[fmt]
     for i in range(n):
         h = int(rng.integers(4, 32))
         w = int(rng.integers(4, 32))
@@ -264,10 +407,11 @@ def make_video_table(n: int = 4, frames: int = 12, seed: int = 42) -> pa.Table:
 class DecodeImage:
     """Actor-pool decode stage: binary payload → real feature vector.
 
-    ppm/bmp decode natively (pure numpy); other formats raise
-    ``NotImplementedError`` (JPEG/PNG need codecs absent from this
-    container) unless ``fake=True``, which substitutes a deterministic
-    payload-hash feature so downstream plumbing stays testable.
+    ppm/bmp/png decode natively (pure numpy / stdlib zlib); other
+    formats raise ``NotImplementedError`` (JPEG/MP3 need codecs absent
+    from this container) unless ``fake=True``, which substitutes a
+    deterministic payload-hash feature so downstream plumbing stays
+    testable.
     """
 
     def __init__(self, fake: bool = False, feature_dim: int = 16):
@@ -280,6 +424,8 @@ class DecodeImage:
             return image_features(decode_ppm(payload))
         if fmt == "bmp" or payload[:2] == b"BM":
             return image_features(decode_bmp(payload))
+        if fmt == "png" or payload[:8] == _PNG_SIG:
+            return image_features(decode_png(payload))
         if not self.fake:
             raise NotImplementedError(
                 f"decode for format {fmt!r} requires external codecs "

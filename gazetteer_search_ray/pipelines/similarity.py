@@ -40,6 +40,16 @@ def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
     return flat.reshape(batch.num_rows, -1)
 
 
+def _list_array(m: np.ndarray) -> pa.ListArray:
+    """(n, d) float matrix → Arrow list<float64> without a Python-list
+    round trip (``m.tolist()`` costs ~100× at block scale)."""
+    n, d = m.shape
+    return pa.ListArray.from_arrays(
+        pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
+        pa.array(np.ascontiguousarray(m, dtype=np.float64).ravel()),
+    )
+
+
 def _merge_partial_topk(partials: pd.DataFrame, q_count: int, k: int) -> pd.DataFrame:
     """Driver-side merge of per-batch partial top-ks (≤ batches×Q×k
     rows — bounded by the plan, not the corpus)."""
@@ -223,7 +233,8 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95,
                             vec_col: str = "embedding", id_col: str = "vec_id",
                             block_rows: int = 8192,
                             exact_limit: int = 100_000,
-                            planes: int = 8, tables: int = 4, seed: int = 11):
+                            planes: int | None = None, tables: int = 8,
+                            seed: int = 11):
     """All pairs with cosine ≥ threshold (vec_a < vec_b).
 
     Two regimes:
@@ -231,24 +242,30 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95,
     * ≤ ``exact_limit`` rows — EXACT blocked pairwise matmul (the
       oracle-checkable contract; every block pair is one Ray task).
     * above it — multi-table hyperplane LSH pre-bucket: ``tables``
-      independent ``planes``-bit bucketings; each vector emits 16-byte
-      ``(band_key, id)`` rows for its own bucket plus every 1-bit-flip
-      neighbor with a higher bucket value (so a pair whose buckets
-      differ by ≤ 1 bit is generated exactly once per table).  The rows
+      independent ``planes``-bit bucketings; each vector emits one
+      16-byte ``(band_key, id)`` row per table (exact-bucket matching —
+      NO neighbor-bucket replication, which would multiply bucket
+      occupancy and blow candidate pairs up quadratically).  The rows
       go through the SAME distributed ``sort(band_key)`` + vectorized
       run-expansion shuffle as MinHash dedup
       (``dedup._pairs_from_band_rows``); candidates are then verified
       with exact cosines over a candidate-bounded vector gather.  Task
-      count is O(N·tables·planes / block) — not O((N/B)²) — and driver
-      memory is O(candidate pairs).  Reported pairs are exact (every
-      cosine is re-computed); recall is bounded by the probability that
-      a qualifying pair splits ≥ 2 bits in ALL tables — at the 0.95
-      threshold with 8 planes × 4 tables that is ≈ 10⁻³ (recall
-      pytest-checked with planted duplicates).
+      count is O(N·tables / block) — not O((N/B)²) — and driver memory
+      is O(candidate pairs).  Reported pairs are exact (every cosine is
+      re-computed, so precision is 1); recall for a pair at angle θ is
+      1 − (1 − (1 − θ/π)^planes)^tables — near-identical duplicates
+      (θ≈0) are found with probability ≈ 1, pairs exactly AT a loose
+      threshold may be missed; raise ``tables`` (linear cost) to push
+      recall up.  Planted-dup recall is pytest-checked.
     """
     import ray
 
-    if ds.count() > exact_limit:
+    n_rows = ds.count()
+    if n_rows > exact_limit:
+        if planes is None:
+            # bucket count ≥ corpus size keeps expected occupancy ~1 and
+            # candidate volume ~N·tables instead of quadratic-in-bucket
+            planes = int(min(24, max(16, np.ceil(np.log2(max(n_rows, 2))) + 2)))
         return _embedding_neardup_lsh(
             ds, threshold, vec_col, id_col,
             planes=planes, tables=tables, seed=seed,
@@ -259,7 +276,7 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95,
         return pa.table(
             {
                 id_col: batch[id_col],
-                "nvec": pa.array(m.tolist(), pa.list_(pa.float64())),
+                "nvec": _list_array(m),
             }
         )
 
@@ -310,7 +327,7 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95,
 
 
 def _embedding_neardup_lsh(ds, threshold: float, vec_col: str, id_col: str,
-                           planes: int = 8, tables: int = 4, seed: int = 11,
+                           planes: int = 16, tables: int = 8, seed: int = 11,
                            max_bucket: int = 4000):
     """LSH-bucketed near-dup pair scan (the >exact_limit regime of
     :func:`embedding_neardup_pairs`); see its docstring for the shape.
@@ -332,7 +349,7 @@ def _embedding_neardup_lsh(ds, threshold: float, vec_col: str, id_col: str,
         return pa.table(
             {
                 id_col: batch[id_col],
-                "nvec": pa.array(m.tolist(), pa.list_(pa.float64())),
+                "nvec": _list_array(m),
             }
         )
 
@@ -352,14 +369,8 @@ def _embedding_neardup_lsh(ds, threshold: float, vec_col: str, id_col: str,
         for t in range(tables):
             bits = (m @ planes_mats[t]) > 0
             bkt = (bits @ shifts).astype(np.int64)
-            salt = np.int64(t) << np.int64(planes + 1)
-            out_k.append(salt | bkt)
+            out_k.append((np.int64(t) << np.int64(planes + 1)) | bkt)
             out_i.append(ids)
-            for p in range(planes):
-                flipped = bkt ^ (1 << p)
-                hi = flipped > bkt  # emit only toward the higher bucket
-                out_k.append(salt | flipped[hi])
-                out_i.append(ids[hi])
         return pa.table(
             {
                 "bkey": pa.array(np.concatenate(out_k)),

@@ -122,3 +122,77 @@ def test_video_frame_sampling(ray_session):
     assert len(out) == 9
     for fr in out["frame"]:
         decode_ppm(fr)  # every sampled frame is a valid image
+
+
+def test_png_roundtrip_all_filters():
+    """encode→decode identity for every PNG scanline filter (0-4)."""
+    from gazetteer_search_ray.pipelines.multimodal import decode_png, encode_png
+
+    img = _img(13, 7, seed=9)
+    for ft in range(5):
+        out = decode_png(encode_png(img, filter_type=ft))
+        np.testing.assert_array_equal(out, img)
+
+
+def test_png_rgba_alpha_dropped():
+    """Truecolor+alpha (type 6) decodes with the alpha plane dropped."""
+    import struct
+    import zlib
+
+    from gazetteer_search_ray.pipelines.multimodal import (
+        _png_chunk,
+        _PNG_SIG,
+        decode_png,
+    )
+
+    rng = np.random.default_rng(4)
+    h, w = 6, 5
+    rgba = rng.integers(0, 256, size=(h, w, 4)).astype(np.uint8)
+    rows = b"".join(b"\x00" + rgba[r].tobytes() for r in range(h))
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(rows))
+        + _png_chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(decode_png(payload), rgba[:, :, :3])
+
+
+def test_png_unsupported_raises():
+    import struct
+    import zlib
+
+    from gazetteer_search_ray.pipelines.multimodal import (
+        _png_chunk,
+        _PNG_SIG,
+        decode_png,
+    )
+
+    # 16-bit depth → NotImplementedError with the feature named
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        decode_png(payload)
+
+
+def test_png_stage_decode(ray_session):
+    """PNG payloads through the DecodeImage actor stage produce the
+    same features as decoding the equivalent PPM payloads."""
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.multimodal import decode_images
+
+    t_png = make_media_table(n=6, seed=11, fmt="png")
+    t_ppm = make_media_table(n=6, seed=11, fmt="ppm")
+    f_png = (
+        decode_images(rd.from_arrow(t_png)).to_pandas().sort_values("item_id")
+    )
+    f_ppm = (
+        decode_images(rd.from_arrow(t_ppm)).to_pandas().sort_values("item_id")
+    )
+    for a, b in zip(f_png["feature"], f_ppm["feature"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
