@@ -50,7 +50,8 @@ def _prior_from_n_chars(batch: pa.Table) -> np.ndarray:
 
 
 def index_dir_for(sf_dir: str) -> str:
-    key = hashlib.sha1(f"{sf_dir}|simple|v2".encode()).hexdigest()[:12]
+    # v3: corpus adapter derives synthetic lat/lon docmeta columns
+    key = hashlib.sha1(f"{sf_dir}|simple|v3".encode()).hexdigest()[:12]
     return os.path.join(CACHE_ROOT, key)
 
 
@@ -262,6 +263,28 @@ def q_bm25_sort2(sf_dir):
     return _topk_frame(docs, scores)
 
 
+GEO_ORIGIN = (10.0, 20.0)
+
+
+def q_bm25_geo_sort(sf_dir):
+    """Q15 TRUE-haversine secondary sort (``ESCoalesce.java:50``
+    geoDistanceSort): top-20 of the OR query by (score desc,
+    great-circle km from GEO_ORIGIN asc, doc_id asc), over the
+    deterministic synthetic lat/lon docmeta columns."""
+    from .functions.geo import haversine_km
+
+    s = get_searcher(sf_dir)
+    docs, scores = s.engine.top_k_geo_sorted(
+        Bool(should=tuple(Term(t) for t in OR3)), 20, origin=GEO_ORIGIN
+    )
+    lat = s.reader.column_of(docs, "lat").astype(np.float64)
+    lon = s.reader.column_of(docs, "lon").astype(np.float64)
+    dist = haversine_km(lat, lon, GEO_ORIGIN[0], GEO_ORIGIN[1])
+    out = _topk_frame(docs, scores)
+    out["dist_km"] = np.round(dist, 4)
+    return out[["doc_id", "score", "dist_km"]]
+
+
 def q_topk_paged(sf_dir):
     """from/size paging (Q15): page 2 of the OR query (offset 10, size 10)."""
     s = get_searcher(sf_dir)
@@ -348,6 +371,21 @@ SELECT doc_id, round(score, 6) AS score FROM sc ORDER BY sc.score DESC, doc_id L
         f"SELECT sc.doc_id, round(sc.score, 6) AS score FROM sc "
         f"JOIN documents d ON d.doc_id = sc.doc_id "
         f"ORDER BY sc.score DESC, d.n_chars, sc.doc_id LIMIT 20"
+    ),
+    # haversine recomputed in SQL over the same derived lat/lon
+    "bm25_geo_sort": (
+        f"WITH {BM25_CTE}, {_bm25_score_sql(OR3)}, "
+        f"geo AS (SELECT doc_id, ((doc_id * 37) % 17000) / 100.0 - 85.0 AS lat, "
+        f"        ((doc_id * 91) % 35000) / 100.0 - 175.0 AS lon FROM documents), "
+        f"dd AS (SELECT sc.doc_id, sc.score, "
+        f"  2.0 * 6371.0088 * asin(sqrt(least(greatest("
+        f"    sin(radians(g.lat - ({GEO_ORIGIN[0]})) / 2.0) * sin(radians(g.lat - ({GEO_ORIGIN[0]})) / 2.0) "
+        f"    + cos(radians({GEO_ORIGIN[0]})) * cos(radians(g.lat)) "
+        f"      * sin(radians(g.lon - ({GEO_ORIGIN[1]})) / 2.0) * sin(radians(g.lon - ({GEO_ORIGIN[1]})) / 2.0) "
+        f"  , 0.0), 1.0))) AS dist_km "
+        f"  FROM sc JOIN geo g ON g.doc_id = sc.doc_id) "
+        f"SELECT doc_id, round(score, 6) AS score, round(dist_km, 4) AS dist_km "
+        f"FROM dd ORDER BY dd.score DESC, dd.dist_km, doc_id LIMIT 20"
     ),
 }
 
@@ -952,6 +990,7 @@ def all_queries() -> dict:
         "prefix_docs": q_prefix_docs,
         "bm25_coalesce": q_bm25_coalesce,
         "bm25_sort2": q_bm25_sort2,
+        "bm25_geo_sort": q_bm25_geo_sort,
         "topk_paged": q_topk_paged,
         "distinct_first": q_distinct_first,
         "join_agg": q_join_agg,

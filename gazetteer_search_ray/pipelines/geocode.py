@@ -115,4 +115,42 @@ def mass_eval(
                  "failures": failures.head(1000).to_dict(orient="records")},
                 f, indent=1, default=str,
             )
+        _write_html_report(out_dir, summary, failures)
     return summary
+
+
+_HTML_CHUNK = 500
+
+
+def _write_html_report(out_dir: str, summary: dict, failures) -> None:
+    """HTML-formatted error report, chunked — the reference writes its
+    failure report as HTML chunk files (``csv/CSVGeocode.java:174-203``
+    ``writeHTMLErrorReport``); one ``error_report-<i>.html`` per
+    ``_HTML_CHUNK`` failures plus a summary header in chunk 0."""
+    import html
+
+    cols = ["qid", "q", "expected", "top_doc", "top_score"]
+    n_chunks = max(1, -(-len(failures) // _HTML_CHUNK))
+    for i in range(n_chunks):
+        part = failures.iloc[i * _HTML_CHUNK : (i + 1) * _HTML_CHUNK]
+        rows = "\n".join(
+            "<tr>" + "".join(
+                f"<td>{html.escape(str(r[c]))}</td>" for c in cols
+            ) + "</tr>"
+            for _, r in part.iterrows()
+        )
+        head = ""
+        if i == 0:
+            head = "<p>" + " — ".join(
+                f"{html.escape(str(k))}: {html.escape(str(v))}"
+                for k, v in summary.items()
+            ) + "</p>\n"
+        doc = (
+            "<!doctype html><html><head><meta charset='utf-8'>"
+            "<title>geocode eval errors</title></head><body>\n"
+            f"{head}<table border='1'><tr>"
+            + "".join(f"<th>{c}</th>" for c in cols)
+            + f"</tr>\n{rows}\n</table></body></html>\n"
+        )
+        with open(os.path.join(out_dir, f"error_report-{i}.html"), "w") as f:
+            f.write(doc)

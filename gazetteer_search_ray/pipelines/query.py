@@ -583,6 +583,25 @@ class QueryEngine:
         ).astype(np.float64)
         return self._topk(full_docs, full_scores, k, secondary=sec_all)
 
+    def top_k_geo_sorted(self, node, k: int = 20,
+                         origin: tuple[float, float] = (0.0, 0.0),
+                         lat_col: str = "lat", lon_col: str = "lon"):
+        """Top-k with a TRUE haversine secondary sort: (score desc,
+        great-circle distance from ``origin`` asc, doc_id asc) — the
+        reference's ``geoDistanceSort("centroid")``
+        (``api/search/ESCoalesce.java:50``) over lat/lon doc-store
+        columns (carried by ``DOCMETA_CARRY`` when present in the
+        corpus)."""
+        from ..functions.geo import haversine_km
+
+        full_docs, full_scores = self.evaluate(node)
+        if full_docs.size == 0:
+            return full_docs, full_scores
+        lat = self.reader.column_of(full_docs, lat_col).astype(np.float64)
+        lon = self.reader.column_of(full_docs, lon_col).astype(np.float64)
+        dist = haversine_km(lat, lon, origin[0], origin[1])
+        return self._topk(full_docs, full_scores, k, secondary=dist)
+
     def top_k(self, node, k: int = 20) -> tuple[np.ndarray, np.ndarray]:
         if (
             isinstance(node, Bool)

@@ -68,7 +68,11 @@ def documents_as_corpus(sf_dir: str):
     """Map the testdata ``documents`` table onto the corpus shape.
 
     content=text, repo=source, path=str(doc_id), commit=sha1(repo/path)
-    prefix, same lang; keeps the native int64 ``doc_id``.
+    prefix, same lang; keeps the native int64 ``doc_id``.  Synthetic
+    ``lat``/``lon`` are derived deterministically from doc_id (integer
+    arithmetic, reproducible in the SQL oracle) so the geo-distance
+    secondary sort (``QueryEngine.top_k_geo_sorted``) is
+    driver-verifiable over a corpus that has no native coordinates.
     """
     import ray.data as rd
 
@@ -78,7 +82,6 @@ def documents_as_corpus(sf_dir: str):
     )
 
     def adapt(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
         path = pc.cast(batch["doc_id"], pa.string())
         commits = pa.array(
             [
@@ -88,6 +91,9 @@ def documents_as_corpus(sf_dir: str):
                 )
             ]
         )
+        d = batch["doc_id"].to_numpy()
+        lat = ((d * 37) % 17000) / 100.0 - 85.0
+        lon = ((d * 91) % 35000) / 100.0 - 175.0
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -97,6 +103,8 @@ def documents_as_corpus(sf_dir: str):
                 "lang": batch["lang"],
                 "content": batch["text"],
                 "n_chars": batch["n_chars"],
+                "lat": pa.array(lat, pa.float64()),
+                "lon": pa.array(lon, pa.float64()),
             }
         )
 

@@ -92,7 +92,7 @@ def flat_from_binary_col(col, dtype) -> tuple[np.ndarray, np.ndarray]:
     seg = data[off[0] : off[-1]].copy()  # copy for alignment
     return seg.view(dtype), (np.diff(off) // itemsize).astype(np.int64)
 
-DOCMETA_CARRY = ("repo", "path", "commit", "lang", "n_chars")
+DOCMETA_CARRY = ("repo", "path", "commit", "lang", "n_chars", "lat", "lon")
 
 
 def _is_arrow_fast_path(c: AnalyzerConfig) -> bool:

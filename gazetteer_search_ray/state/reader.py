@@ -29,7 +29,8 @@ from ..functions.codec import decode_blocks
 from . import manifest as mf
 import os
 
-DOCMETA_EXTRA = ("lang", "repo", "path", "base_score", "sha256", "n_chars")
+DOCMETA_EXTRA = ("lang", "repo", "path", "base_score", "sha256", "n_chars",
+                 "lat", "lon")
 
 
 from .fuzzy import DeletionNeighborhoodIndex, ed1 as _ed1

@@ -344,6 +344,54 @@ def test_mass_eval_pipeline(idx, tmp_path):
     rep = json.load(open(tmp_path / "eval" / "error_report.json"))
     assert rep["summary"]["top1_match"] == 3
     assert len(rep["failures"]) == 1
+    # HTML report chunks (reference csv/CSVGeocode.java:174-203)
+    html_doc = (tmp_path / "eval" / "error_report-0.html").read_text()
+    assert "<table" in html_doc and "99" in html_doc  # the failing qid
+
+
+def test_haversine_known_distance():
+    from gazetteer_search_ray.functions.geo import haversine_km
+
+    # Paris (48.8566, 2.3522) ↔ London (51.5074, -0.1278) ≈ 343-344 km
+    d = float(haversine_km(48.8566, 2.3522, 51.5074, -0.1278))
+    assert 340 < d < 348
+    assert float(haversine_km(10.0, 20.0, 10.0, 20.0)) == 0.0
+
+
+def test_geo_distance_secondary_sort(ray_session, tmp_path):
+    """TRUE haversine secondary sort (ESCoalesce.java:50
+    geoDistanceSort analog): equal-score hits order by great-circle
+    distance from the query origin."""
+    import ray.data as rd
+
+    from gazetteer_search_ray.functions.geo import haversine_km
+
+    lats = [10.0, 40.0, -30.0, 10.5, 60.0, 9.0]
+    lons = [20.0, -5.0, 150.0, 20.5, 30.0, 19.0]
+    rows = [
+        {
+            "doc_id": i, "repo": "r", "path": f"f{i}.py", "commit": "c",
+            "lang": "py",
+            "content": "alpha beta gamma",  # identical text → equal scores
+            "lat": lats[i], "lon": lons[i],
+        }
+        for i in range(6)
+    ]
+    idx_dir = str(tmp_path / "geoidx")
+    build_index(rd.from_items(rows), idx_dir,
+                BuildOptions(analyzer_config=AnalyzerConfig.simple()))
+    s = Searcher(idx_dir)
+    origin = (10.0, 20.0)
+    docs, scores = s.engine.top_k_geo_sorted(
+        Bool(should=(Term("alpha"),)), k=6, origin=origin
+    )
+    assert docs.size == 6
+    assert np.allclose(scores, scores[0])  # all tied on score
+    got_lat = s.reader.column_of(docs, "lat")
+    got_lon = s.reader.column_of(docs, "lon")
+    dists = haversine_km(got_lat, got_lon, origin[0], origin[1])
+    assert (np.diff(dists) >= -1e-9).all()  # ascending distance
+    assert float(dists[0]) == 0.0  # the doc AT the origin ranks first
 
 
 def test_ndjson_reader(ray_session, tmp_path):
