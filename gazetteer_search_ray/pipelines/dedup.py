@@ -123,7 +123,17 @@ def drop_exact_duplicates(ds, text_col: str = "text", id_col: str = "doc_id",
 
 
 class MinHasher:
-    """Per-batch MinHash signatures (actor state: permutation params)."""
+    """Per-batch MinHash signatures (actor state: permutation params +
+    the distinct-shingle hash cache).
+
+    Fully vectorized: one Arrow lower+split pass over the batch,
+    shingles built with ``binary_join_element_wise`` over shifted token
+    slices, md5-64 computed once per DISTINCT shingle (cache persists
+    across batches), and the (a·h+b) mod p permutation minima taken
+    with ``np.minimum.reduceat`` over doc runs — no Python loop over
+    rows in the hot path (the scalar ``_sig`` fallback remains for the
+    <3-token and non-vectorizable edge rows).
+    """
 
     def __init__(self, num_perm: int = 64, shingle_n: int = 3,
                  text_col: str = "text", id_col: str = "doc_id", seed: int = 7):
@@ -150,16 +160,76 @@ class MinHasher:
         vals = (hs[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE
         return vals.min(axis=1)
 
+    def _hash_distinct(self, shingles: list[str]) -> np.ndarray:
+        cache = self._token_cache
+        miss = [s for s in shingles if s not in cache]
+        if miss:
+            for s, h in zip(miss, _stable_hash64(miss)):
+                cache[s] = int(h)
+        return np.array([cache[s] for s in shingles], dtype=np.uint64)
+
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids = t[self.id_col].to_pylist()
-        sigs = [self._sig(x) for x in t[self.text_col].to_pylist()]
-        return pa.table(
-            {
-                self.id_col: pa.array(ids, pa.int64()),
-                "sig": pa.array([s.astype(np.int64).tolist() for s in sigs],
-                                 pa.list_(pa.int64())),
-            }
+        import pyarrow.compute as pc
+
+        n = t.num_rows
+        ids = t[self.id_col].to_numpy().astype(np.int64)
+        out = np.full((n, self.num_perm), np.iinfo(np.int64).max,
+                      dtype=np.uint64)
+
+        s = pc.utf8_lower(pc.cast(t[self.text_col].combine_chunks(),
+                                  pa.string()))
+        lst = pc.split_pattern_regex(s, pattern=r"\s+")
+        flat = pc.list_flatten(lst)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parent = pc.list_parent_indices(lst).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        parent = parent[keep]
+        tok_counts = np.bincount(parent, minlength=n)
+
+        nsh = self.shingle_n
+        texts = None
+        short = np.flatnonzero((tok_counts > 0) & (tok_counts < nsh))
+        if short.size:  # rare rows: <n tokens → single whole-text shingle
+            texts = t[self.text_col].to_pylist()
+            for i in short:
+                out[i] = self._sig(texts[i])
+
+        m = len(flat)
+        if m >= nsh:
+            # shingle rows: join token[i..i+n-1] where all share a parent
+            parts = [flat.slice(j, m - nsh + 1) for j in range(nsh)]
+            joined = pc.binary_join_element_wise(*parts, " ")
+            valid = parent[: m - nsh + 1] == parent[nsh - 1 :]
+            sh_tbl = (
+                pa.table(
+                    {
+                        "p": pa.array(parent[: m - nsh + 1][valid]),
+                        "sh": joined.filter(pa.array(valid)),
+                    }
+                )
+                .group_by(["p", "sh"], use_threads=False)
+                .aggregate([])
+            )
+            p_arr = sh_tbl["p"].to_numpy()
+            order = np.argsort(p_arr, kind="stable")
+            p_arr = p_arr[order]
+            hs = self._hash_distinct(sh_tbl["sh"].to_pylist())[order]
+            if p_arr.size:
+                heads = np.concatenate(
+                    ([0], np.flatnonzero(np.diff(p_arr) != 0) + 1)
+                )
+                vals = (hs[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE
+                mins = np.minimum.reduceat(vals, heads, axis=1)
+                out[p_arr[heads]] = mins.T
+
+        sig_list = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * self.num_perm, self.num_perm,
+                               dtype=np.int32)),
+            pa.array(out.astype(np.int64).ravel()),
         )
+        return pa.table({self.id_col: pa.array(ids), "sig": sig_list})
 
 
 def minhash_signatures(ds, num_perm=64, shingle_n=3, text_col="text",
@@ -411,7 +481,14 @@ def minhash_lsh_pairs(
 
 
 class SimHasher:
-    """64-bit SimHash over token hashes (actor-pool stage)."""
+    """64-bit SimHash over token hashes (actor-pool stage).
+
+    Vectorized like :class:`MinHasher`: one Arrow lower+split pass,
+    the ±1 bit matrix computed once per DISTINCT token (dictionary
+    encode; cache persists across batches), per-doc bit sums scattered
+    with ``np.add.at`` — token multiplicity preserved, matching the
+    scalar definition and the SQL oracle exactly.
+    """
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col = text_col
@@ -419,6 +496,8 @@ class SimHasher:
         self._cache: dict[str, int] = {}
 
     def _hash(self, text: str) -> int:
+        """Scalar reference implementation (differential-tested against
+        the vectorized ``__call__``)."""
         toks = (text or "").lower().split()
         if not toks:
             return 0
@@ -435,11 +514,46 @@ class SimHasher:
         return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        hs = [self._hash(x) for x in t[self.text_col].to_pylist()]
+        import pyarrow.compute as pc
+
+        n = t.num_rows
+        out = np.zeros(n, dtype=np.uint64)
+        if n:
+            s = pc.utf8_lower(pc.cast(t[self.text_col].combine_chunks(),
+                                      pa.string()))
+            lst = pc.split_pattern_regex(s, pattern=r"\s+")
+            flat = pc.list_flatten(lst)
+            if isinstance(flat, pa.ChunkedArray):
+                flat = flat.combine_chunks()
+            parent = pc.list_parent_indices(lst).to_numpy(zero_copy_only=False)
+            keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+            parent = parent[keep]
+            d = pc.dictionary_encode(flat.filter(pa.array(keep)))
+            if isinstance(d, pa.ChunkedArray):
+                d = d.combine_chunks()
+            if len(d):
+                codes = d.indices.to_numpy()
+                uniq = d.dictionary.to_pylist()
+                cache = self._cache
+                miss = [w for w in uniq if w not in cache]
+                if miss:
+                    for w, h in zip(miss, _stable_hash64(miss)):
+                        cache[w] = int(h)
+                hs = np.array([cache[w] for w in uniq], dtype=np.uint64)
+                # vocab × 64 signed bit matrix (±1), scattered per doc
+                bitmat = (
+                    ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
+                    .astype(np.int64) * 2 - 1
+                )
+                sums = np.zeros((n, 64), dtype=np.int64)
+                np.add.at(sums, parent, bitmat[codes])
+                out = ((sums > 0).astype(np.uint64)
+                       << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
+                # docs with zero tokens: all sums 0 → bits 0 → simhash 0 ✓
         return pa.table(
             {
                 self.id_col: t[self.id_col],
-                "simhash": pa.array(np.array(hs, dtype=np.uint64).astype(np.int64)),
+                "simhash": pa.array(out.astype(np.int64)),
             }
         )
 

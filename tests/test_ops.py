@@ -519,3 +519,43 @@ def test_name_agg_index_vectorized_many_groups(ray_session):
     got = out.set_index("doc_id")["by_name_agg_index"].sort_index()
     assert (got.to_numpy() == exp.to_numpy()).all()
     assert dt < 120, f"vectorized cumcount too slow: {dt:.1f}s"
+
+
+def test_minhash_vectorized_matches_scalar():
+    """The Arrow-vectorized MinHasher batch path must reproduce the
+    scalar per-row signature exactly (incl. empty/short/whitespace
+    edge rows)."""
+    import pyarrow as pa
+
+    from gazetteer_search_ray.pipelines.dedup import MinHasher
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "", "one", "one two", "one two three", "a a a a a",
+        "  leading and   multiple   spaces ", "tabs\tand\nnewlines mixed",
+        "the quick brown fox jumps over the lazy dog",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    vec = np.array(MinHasher()(t)["sig"].to_pylist(), dtype=np.int64)
+    ref_hasher = MinHasher()
+    ref = np.array([ref_hasher._sig(x).astype(np.int64) for x in texts])
+    np.testing.assert_array_equal(vec, ref)
+    np.testing.assert_array_equal(vec[0], vec[8])  # identical texts
+
+
+def test_simhash_vectorized_matches_scalar():
+    import pyarrow as pa
+
+    from gazetteer_search_ray.pipelines.dedup import SimHasher
+
+    texts = ["the quick brown fox", "", "one", "a a a b",
+             "tabs\tand\nnewlines here", "the quick brown fox"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    vec = np.array(SimHasher()(t)["simhash"].to_pylist(), dtype=np.int64)
+    ref_hasher = SimHasher()
+    ref = np.array(
+        [np.uint64(ref_hasher._hash(x)).astype(np.int64) for x in texts]
+    )
+    np.testing.assert_array_equal(vec, ref)
