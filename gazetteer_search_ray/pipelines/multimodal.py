@@ -9,7 +9,10 @@ struct; decode / feature-extract / resize / frame-sample are actor-pool
 * **PNG (8-bit RGB/RGBA, filters 0-4)** encodes/decodes with stdlib
   ``zlib`` + numpy unfiltering — a real compressed-image codec;
 * **WAV (PCM16)** decodes with the stdlib ``wave`` module;
-* JPEG/MP3/H264 genuinely need external codecs absent from this
+* **JPEG (baseline SOF0)** encodes/decodes via the pure-numpy T.81
+  implementation in ``functions/jpeg.py`` (4:4:4 + 4:2:0, restart
+  intervals, gray/color) — a real lossy DCT codec;
+* MP3/H264 genuinely need external codecs absent from this
   container — those formats raise ``NotImplementedError`` (clearly
   marked), and ``fake=True`` substitutes a deterministic payload-hash
   feature so downstream plumbing stays testable for any format;
@@ -31,6 +34,8 @@ import wave
 
 import numpy as np
 import pyarrow as pa
+
+from gazetteer_search_ray.functions import jpeg as _jpeg
 
 IMAGE_META_TYPE = pa.struct(
     [("width", pa.int32()), ("height", pa.int32()), ("format", pa.string())]
@@ -324,7 +329,8 @@ def make_media_table(n: int = 16, seed: int = 42, fmt: str = "ppm") -> pa.Table:
     """Deterministic image corpus with REAL ppm/bmp/png payloads."""
     rng = np.random.default_rng(seed)
     ids, payloads, meta = [], [], []
-    enc = {"ppm": encode_ppm, "bmp": encode_bmp, "png": encode_png}[fmt]
+    enc = {"ppm": encode_ppm, "bmp": encode_bmp, "png": encode_png,
+           "jpeg": _jpeg.encode_jpeg}[fmt]
     for i in range(n):
         h = int(rng.integers(4, 32))
         w = int(rng.integers(4, 32))
@@ -407,11 +413,11 @@ def make_video_table(n: int = 4, frames: int = 12, seed: int = 42) -> pa.Table:
 class DecodeImage:
     """Actor-pool decode stage: binary payload → real feature vector.
 
-    ppm/bmp/png decode natively (pure numpy / stdlib zlib); other
-    formats raise ``NotImplementedError`` (JPEG/MP3 need codecs absent
-    from this container) unless ``fake=True``, which substitutes a
-    deterministic payload-hash feature so downstream plumbing stays
-    testable.
+    ppm/bmp/png/jpeg decode natively (pure numpy / stdlib zlib /
+    the T.81 codec in ``functions/jpeg.py``); other formats raise
+    ``NotImplementedError`` (MP3/H264 need codecs absent from this
+    container) unless ``fake=True``, which substitutes a deterministic
+    payload-hash feature so downstream plumbing stays testable.
     """
 
     def __init__(self, fake: bool = False, feature_dim: int = 16):
@@ -426,6 +432,8 @@ class DecodeImage:
             return image_features(decode_bmp(payload))
         if fmt == "png" or payload[:8] == _PNG_SIG:
             return image_features(decode_png(payload))
+        if fmt in ("jpeg", "jpg") or payload[:2] == b"\xff\xd8":
+            return image_features(_jpeg.decode_jpeg(payload))
         if not self.fake:
             raise NotImplementedError(
                 f"decode for format {fmt!r} requires external codecs "

@@ -69,8 +69,8 @@ def test_real_decode_features_deterministic():
 
 
 def test_undecodable_format_raises():
-    with pytest.raises(NotImplementedError, match="jpeg"):
-        DecodeImage()._decode(b"\xff\xd8\xffgarbage", {"format": "jpeg"})
+    with pytest.raises(NotImplementedError, match="mp3"):
+        DecodeImage()._decode(b"\x49\x44\x33garbage", {"format": "mp3"})
 
 
 def test_split_ppm_frames():
@@ -196,3 +196,75 @@ def test_png_stage_decode(ray_session):
     )
     for a, b in zip(f_png["feature"], f_ppm["feature"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline T.81, functions/jpeg.py)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_roundtrip_color_444_and_420():
+    from gazetteer_search_ray.functions.jpeg import decode_jpeg, encode_jpeg, psnr
+
+    h, w = 45, 67  # not multiples of 8/16: exercises edge padding/crop
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.clip(
+        128 + 80 * np.sin(xx / 11.0) + 60 * np.cos(yy / 7.0), 0, 255
+    ).astype(np.uint8)
+    img = np.stack([img, img[::-1], 255 - img], axis=-1)
+    for sub, floor in (("444", 35.0), ("420", 28.0)):
+        dec = decode_jpeg(encode_jpeg(img, quality=90, subsample=sub))
+        assert dec.shape == img.shape
+        assert psnr(img, dec) > floor
+
+
+def test_jpeg_roundtrip_gray():
+    from gazetteer_search_ray.functions.jpeg import decode_jpeg, encode_jpeg, psnr
+
+    yy, xx = np.mgrid[0:24, 0:40]
+    g = np.clip(128 + 80 * np.sin(xx / 9.0 + yy / 5.0), 0, 255).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(g, quality=85))
+    assert dec.shape == (24, 40, 3)
+    assert psnr(np.stack([g, g, g], axis=-1), dec) > 35.0
+
+
+def test_jpeg_restart_interval_bit_identical():
+    from gazetteer_search_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    img = _img(33, 50)
+    plain = decode_jpeg(encode_jpeg(img, quality=80))
+    rst = decode_jpeg(encode_jpeg(img, quality=80, restart_interval=3))
+    np.testing.assert_array_equal(plain, rst)
+
+
+def test_jpeg_quality_monotone_size():
+    from gazetteer_search_ray.functions.jpeg import encode_jpeg
+
+    img = _img(32, 32)
+    sizes = [len(encode_jpeg(img, quality=q)) for q in (30, 60, 90)]
+    assert sizes == sorted(sizes)
+
+
+def test_jpeg_progressive_rejected():
+    from gazetteer_search_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    payload = bytearray(encode_jpeg(_img(16, 16)))
+    idx = payload.find(b"\xff\xc0")
+    payload[idx + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        decode_jpeg(bytes(payload))
+
+
+def test_jpeg_stage_decode(ray_session):
+    """JPEG payloads flow through the DecodeImage actor stage; the
+    lossy features stay close to the PPM (lossless) features."""
+    import ray.data as rd
+
+    t_jpg = make_media_table(n=6, seed=11, fmt="jpeg")
+    f_jpg = (
+        decode_images(rd.from_arrow(t_jpg)).to_pandas().sort_values("item_id")
+    )
+    assert len(f_jpg) == 6
+    for _, row in f_jpg.iterrows():
+        assert row["feature"][0] == row["meta"]["height"]
+        assert row["feature"][1] == row["meta"]["width"]
