@@ -20,6 +20,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .functions.analyzer import AnalyzerConfig
 from .pipelines.build_index import BuildOptions, build_index
@@ -1021,6 +1022,7 @@ def all_queries() -> dict:
         "events_window": q_events_window,
         "events_hopping": q_events_hopping,
         "events_sessions": q_events_sessions,
+        "events_asof": q_events_asof,
     }
 
 
@@ -1274,7 +1276,66 @@ def q_events_sessions(sf_dir):
     return out[["user_id", "session_start", "session_end", "n_events"]]
 
 
+def q_events_asof(sf_dir):
+    """As-of join: attach to every click the user's latest purchase value
+    at-or-before the click (sort-exchange asof, `pipelines/asof.py`)."""
+    import ray.data as rd
+
+    from .pipelines.asof import asof_join
+
+    def _tss(t):
+        # event timestamps are positive, so int64 truncating divide
+        # equals the oracle's floor(epoch(ts))
+        tss = pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000)
+        return t.set_column(t.schema.get_field_index("ts"), "tss", tss)
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    ).map_batches(_tss, batch_format="pyarrow")
+    left = ev.filter(expr="event_type == 'click'").select_columns(
+        ["event_id", "user_id", "tss"]
+    )
+    # right side pre-reduced to one row per (user_id, tss): max(value)
+    # wins — same reduction as the oracle, so payloads are deterministic
+    right = (
+        ev.filter(expr="event_type == 'purchase'")
+        .select_columns(["user_id", "tss", "value"])
+        .groupby(["user_id", "tss"])
+        .max("value")
+        .map_batches(
+            lambda t: pa.table({
+                "user_id": t["user_id"],
+                "tss": pc.cast(t["tss"], pa.int64()),
+                "purch_tss": pc.cast(t["tss"], pa.int64()),
+                "purch_value": pc.round(t["max(value)"], 6),
+            }),
+            batch_format="pyarrow",
+        )
+    )
+    out = asof_join(left, right, key_col="user_id", on_col="tss").to_pandas()
+    for c in ("event_id", "user_id", "tss"):
+        out[c] = out[c].astype(np.int64)
+    out["purch_value"] = np.round(out["purch_value"].astype(np.float64), 6)
+    return out.sort_values("event_id").reset_index(drop=True)[
+        ["event_id", "user_id", "tss", "purch_tss", "purch_value"]
+    ]
+
+
 WINDOW_SQL = {
+    "events_asof": (
+        "WITH l AS (SELECT event_id, user_id, "
+        "CAST(floor(epoch(ts)) AS BIGINT) AS tss FROM events "
+        "WHERE event_type = 'click'), "
+        "r AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tss, "
+        "round(max(value), 6) AS v FROM events "
+        "WHERE event_type = 'purchase' GROUP BY 1, 2) "
+        "SELECT l.event_id, l.user_id, l.tss, r.tss AS purch_tss, "
+        "r.v AS purch_value "
+        "FROM l ASOF LEFT JOIN r "
+        "ON l.user_id = r.user_id AND l.tss >= r.tss "
+        "ORDER BY l.event_id"
+    ),
     "events_hopping": (
         f"WITH e AS (SELECT event_type, value, "
         f"CAST(floor(epoch(ts)) AS BIGINT) AS tss FROM events), "

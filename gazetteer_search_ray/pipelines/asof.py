@@ -1,0 +1,193 @@
+"""Distributed as-of join (most-recent-at-or-before match).
+
+The reference engine is a batch geocoder with no temporal operators
+(SURVEY.md §2.5), but event-log enrichment — "attach the latest
+reading/click/price at or before each fact row" — is a staple of
+large-scale training-data pipelines, so it ships as a first-class
+operator with a DuckDB ``ASOF JOIN`` oracle.
+
+Ray Data has no asof/range join; the composition here is the same
+sort-exchange + complete-run resolution + boundary-run passthrough
+pattern as the LSH band shuffle (``dedup.py:_RunPairEmitter``) and the
+postings merge (``stages/postings.py``):
+
+1. union both sides into one thin table tagged ``__side`` (right=0,
+   left=1) and ``sort([key, on, __side])`` — one range exchange, the
+   only shuffle in the operator;
+2. per sorted block, every key-run strictly interior to the block is
+   COMPLETE (a global sort keeps equal keys contiguous), so its left
+   rows resolve exactly with one vectorized pass: a cumulative-max of
+   right-row indices gives each left row its latest at-or-before right
+   row, and the ``acc >= run_start`` guard resets the carry at run
+   heads without any per-group Python;
+3. only the first/last run of each block — the O(#blocks) rows that may
+   straddle a range boundary — reach the driver, where the identical
+   kernel resolves them; the fix-up unions back in as one small block.
+
+Scale notes: the shuffle ships (key, on, side, payload) only — callers
+should project both sides to needed columns first.  A key hotter than a
+sort block degrades to the driver fix-up for that key only (same
+documented bound as the dedup band shuffle).  Right-side rows must be
+unique per (key, on) for deterministic payloads — pre-reduce with a
+groupby max/last upstream, as ``driver_queries.q_events_asof`` does.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_SIDE_R, _SIDE_L = 0, 1
+_SIDE = "__side"
+
+
+def _tag(t: pa.Table, side: int, all_names: list[str],
+         types: dict[str, pa.DataType]) -> pa.Table:
+    """Conform one side's batch to the union schema: missing columns
+    become typed nulls, plus the ``__side`` tag."""
+    n = t.num_rows
+    cols = {}
+    for name in all_names:
+        if name in t.column_names:
+            cols[name] = t[name]
+        else:
+            cols[name] = pa.nulls(n, types[name])
+    cols[_SIDE] = pa.array(np.full(n, side, dtype=np.int8))
+    return pa.table(cols)
+
+
+def _run_heads(key: np.ndarray) -> np.ndarray:
+    if key.size == 0:
+        return np.array([], dtype=np.int64)
+    # elementwise != works for numeric and object (string) keys alike
+    return np.concatenate(([0], np.flatnonzero(key[1:] != key[:-1]) + 1))
+
+
+def _resolve_sorted(t: pa.Table, key_col: str, left_cols: list[str],
+                    right_cols: list[str]) -> pa.Table:
+    """Exact asof over a (key, on, side)-sorted table whose key-runs are
+    all complete: returns left rows with matched right payload (typed
+    null where no right row precedes).  Fully vectorized."""
+    n = t.num_rows
+    key = t[key_col].to_numpy(zero_copy_only=False)
+    side = t[_SIDE].to_numpy(zero_copy_only=False)
+    idx = np.arange(n, dtype=np.int64)
+    heads = _run_heads(key)
+    run_len = np.diff(np.concatenate((heads, [n])))
+    run_start = np.repeat(heads, run_len)
+    # latest right row at-or-before each position, reset per key-run:
+    # a stale carry from a previous run always has index < run_start
+    acc = np.maximum.accumulate(np.where(side == _SIDE_R, idx, -1))
+    match = np.where(acc >= run_start, acc, -1)
+    lmask = side == _SIDE_L
+    lidx = idx[lmask]
+    m = match[lmask]
+    take_l = pa.array(lidx)
+    take_r = pa.array(m, mask=m < 0)  # null index -> null payload
+    cols = {c: t[c].take(take_l) for c in left_cols}
+    cols.update({c: t[c].take(take_r) for c in right_cols})
+    return pa.table(cols)
+
+
+class _InteriorResolver:
+    """``map_batches`` stage over the sorted exchange: resolves every
+    complete (interior) key-run, drops the first/last runs — those are
+    re-emitted by ``_BoundaryExtract`` and fixed up on the driver."""
+
+    def __init__(self, key_col, left_cols, right_cols):
+        self.key_col, self.left_cols, self.right_cols = \
+            key_col, left_cols, right_cols
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        key = t[self.key_col].to_numpy(zero_copy_only=False)
+        heads = _run_heads(key)
+        if heads.size <= 2:  # <=2 runs: nothing is provably complete
+            sl = t.slice(0, 0)
+        else:
+            lo, hi = int(heads[1]), int(heads[-1])
+            sl = t.slice(lo, hi - lo)
+        return _resolve_sorted(sl, self.key_col, self.left_cols,
+                               self.right_cols)
+
+
+class _BoundaryExtract:
+    """The complementary stage: passes through only the first and last
+    key-run of each sorted block (O(#blocks) runs total)."""
+
+    def __init__(self, key_col):
+        self.key_col = key_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        key = t[self.key_col].to_numpy(zero_copy_only=False)
+        heads = _run_heads(key)
+        if heads.size <= 2:
+            return t
+        lo, hi = int(heads[1]), int(heads[-1])
+        mask = np.ones(t.num_rows, dtype=bool)
+        mask[lo:hi] = False
+        return t.filter(pa.array(mask))
+
+
+def asof_join(left_ds, right_ds, key_col: str, on_col: str):
+    """Asof-LEFT-join two Datasets: for each left row, attach the right
+    row with equal ``key_col`` and the greatest ``on_col`` <= the left
+    row's (typed nulls when none exists).
+
+    ``on_col`` must be an ordered numeric column on both sides (cast
+    timestamps to int64 upstream).  All other column names must be
+    disjoint between the sides; the right side's non-key/on columns
+    become the attached payload.  Right rows should be unique per
+    (key, on) — with duplicates the last in sort order wins.
+
+    Returns a Dataset with the left schema + right payload columns.
+    """
+    import ray.data as rd
+
+    ls, rs = left_ds.schema(), right_ds.schema()
+    right_payload = [c for c in rs.names if c not in (key_col, on_col)]
+    clash = set(right_payload) & set(ls.names)
+    if clash:
+        raise ValueError(f"right payload columns clash with left: {clash}")
+    left_cols = list(ls.names)
+    all_names = left_cols + right_payload
+    types = dict(zip(ls.names, ls.types))
+    types.update({n: t for n, t in zip(rs.names, rs.types)
+                  if n in right_payload})
+    # right rows carry `on` in the left-named on column for the sort;
+    # ALSO keep the payload copy if the caller wants the matched on
+    # value (add it as an explicit extra right column upstream).
+    tagged_l = left_ds.map_batches(
+        lambda t: _tag(t, _SIDE_L, all_names, types), batch_format="pyarrow")
+    tagged_r = right_ds.map_batches(
+        lambda t: _tag(t, _SIDE_R, all_names, types), batch_format="pyarrow")
+    # ONE range exchange; sort materializes its output blocks anyway,
+    # so the explicit materialize only pins them for the two single-pass
+    # reads below (no re-sort, no second shuffle)
+    merged = (
+        tagged_l.union(tagged_r)
+        .sort([key_col, on_col, _SIDE])
+        .materialize()
+    )
+    resolved = merged.map_batches(
+        _InteriorResolver(key_col, left_cols, right_payload),
+        batch_format="pyarrow",
+    )
+    bnd_parts = [
+        b for b in merged.map_batches(
+            _BoundaryExtract(key_col), batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows
+    ]
+    bnd = (pa.concat_tables(bnd_parts) if bnd_parts
+           else pa.table({n: pa.array([], types.get(n, pa.int8()))
+                          for n in all_names + [_SIDE]}))
+    if bnd.num_rows:
+        # boundary rows from different blocks arrive unordered; re-sort
+        # the SMALL set (O(#blocks) runs) and run the same exact kernel
+        bnd = bnd.sort_by([(key_col, "ascending"), (on_col, "ascending"),
+                           (_SIDE, "ascending")])
+        fix = _resolve_sorted(bnd, key_col, left_cols, right_payload)
+        if fix.num_rows:
+            resolved = resolved.union(rd.from_arrow(fix))
+    return resolved
