@@ -550,6 +550,59 @@ def q_dedup_ngram(sf_dir):
     return out
 
 
+DECONTAM_MOD = 23  # docs with doc_id % 23 == 0 play the eval set
+
+
+def _mod_split(ds, is_eval: bool):
+    """filter(expr=...) can't express arithmetic; one pc kernel can."""
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.equal(
+            pc.subtract(t["doc_id"],
+                        pc.multiply(pc.divide(t["doc_id"], DECONTAM_MOD),
+                                    DECONTAM_MOD)),
+            0,
+        )
+        return t.filter(m if is_eval else pc.invert(m))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_decontam(sf_dir):
+    """Train/eval decontamination report: distinct 3-gram overlap count
+    per contaminated train doc (broadcast eval hash set, one streaming
+    membership pass — `pipelines/contamination.py`)."""
+    from .pipelines.contamination import (contamination_report,
+                                          eval_shingle_hashes)
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ev = _mod_split(docs, True)
+    tr = _mod_split(docs, False)
+    out = contamination_report(
+        tr, eval_shingle_hashes(ev, n=3), n=3
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_overlap"] = out["n_overlap"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "n_overlap"]
+    ]
+
+
+def q_decontam_drop(sf_dir):
+    """Surviving train corpus after dropping contaminated docs."""
+    from .pipelines.contamination import decontaminate
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text", "lang"])
+    ev = _mod_split(docs, True)
+    tr = _mod_split(docs, False)
+    out = (
+        decontaminate(tr, ev, n=3)
+        .select_columns(["doc_id", "lang"])
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)[["doc_id", "lang"]]
+
+
 def _emb(sf_dir):
     import ray.data as rd
 
@@ -644,6 +697,22 @@ def q_quality(sf_dir):
     out["doc_id"] = out["doc_id"].astype(np.int64)
     out["n_chars"] = out["n_chars"].astype(np.int64)
     return out
+
+
+def q_repetition(sf_dir):
+    """Gopher-style repetition signals: top-2-gram occupancy and
+    duplicate-3-gram fraction per doc."""
+    from .pipelines.textstats import repetition_stats
+
+    out = repetition_stats(
+        _docs(sf_dir).select_columns(["doc_id", "text"])
+    ).to_pandas()
+    for c in ("top2_frac", "dup3_frac"):
+        out[c] = np.round(out[c].astype(np.float64), 6)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "top2_frac", "dup3_frac"]
+    ]
 
 
 def q_token_count_bpe(sf_dir):
@@ -803,6 +872,39 @@ SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM jac WHERE j >= 0.8
 ORDER BY doc_a, doc_b"""
     ),
 }
+
+# decontamination: same shingle CTE (n=3, distinct per doc); the
+# pipeline probes md5-64 hashes, the oracle joins the shingle strings —
+# identical modulo md5-64 collisions, the established dedup assumption.
+_DECONTAM_CTES = """
+dt AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM dt, LATERAL (SELECT unnest(range(1, greatest(len(toks)-2, 1)+1)) AS i) g
+  WHERE len(toks) >= 1
+),
+evs AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 23 = 0),
+hits AS (
+  SELECT s.doc_id, count(*) AS n_overlap
+  FROM sh s JOIN evs USING (shingle)
+  WHERE s.doc_id % 23 <> 0
+  GROUP BY s.doc_id
+)"""
+
+DEDUP_SQL["decontam"] = (
+    f"WITH {_DECONTAM_CTES} "
+    "SELECT doc_id, n_overlap FROM hits ORDER BY doc_id"
+)
+DEDUP_SQL["decontam_drop"] = (
+    f"WITH {_DECONTAM_CTES} "
+    "SELECT d.doc_id, d.lang FROM documents d "
+    "WHERE d.doc_id % 23 <> 0 "
+    "AND d.doc_id NOT IN (SELECT doc_id FROM hits) "
+    "ORDER BY d.doc_id"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -966,6 +1068,28 @@ EXTRA_SQL = {
         "  - (length(regexp_replace(text, '[^0-9]', '', 'g')) / greatest(length(text), 1)::DOUBLE) * 5))), 6) AS quality "
         "FROM documents"
     ),
+    # repetition: whitespace n-gram counts per doc; <n-token docs fall
+    # back to the single whole-text shingle (dedup._shingles rule)
+    "repetition": (
+        """WITH dt AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+g2 AS (
+  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g, count(*) AS c
+  FROM dt, LATERAL (SELECT unnest(range(1, greatest(len(toks)-1, 1)+1)) AS i) gg
+  WHERE len(toks) >= 1 GROUP BY 1, 2
+),
+g3 AS (
+  SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS g, count(*) AS c
+  FROM dt, LATERAL (SELECT unnest(range(1, greatest(len(toks)-2, 1)+1)) AS i) gg
+  WHERE len(toks) >= 1 GROUP BY 1, 2
+),
+s2 AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS f2 FROM g2 GROUP BY doc_id),
+s3 AS (SELECT doc_id, (sum(c) - count(*))::DOUBLE / sum(c) AS f3 FROM g3 GROUP BY doc_id)
+SELECT s2.doc_id, round(f2, 6) AS top2_frac, round(f3, 6) AS dup3_frac
+FROM s2 JOIN s3 ON s2.doc_id = s3.doc_id ORDER BY s2.doc_id"""
+    ),
     "token_count_bpe": (
         "SELECT doc_id, "
         "len(regexp_extract_all(text, '\\S+'))::BIGINT AS ws_tokens, "
@@ -1011,6 +1135,7 @@ def all_queries() -> dict:
         "emb_neardup": q_emb_neardup,
         "token_stats": q_token_stats,
         "quality": q_quality,
+        "repetition": q_repetition,
         "token_count_bpe": q_token_count_bpe,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -1023,6 +1148,9 @@ def all_queries() -> dict:
         "events_hopping": q_events_hopping,
         "events_sessions": q_events_sessions,
         "events_asof": q_events_asof,
+        "events_attrib": q_events_attrib,
+        "decontam": q_decontam,
+        "decontam_drop": q_decontam_drop,
     }
 
 
@@ -1322,7 +1450,67 @@ def q_events_asof(sf_dir):
     ]
 
 
+ATTRIB_WINDOW_S = 1800
+
+
+def q_events_attrib(sf_dir):
+    """Attribution-window range join: every click within 1800 s
+    at-or-after a purchase by the same user (bin-and-replicate interval
+    join, `pipelines/interval.py`)."""
+    import ray.data as rd
+
+    from .pipelines.interval import interval_join
+
+    def _tss(t):
+        tss = pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000)
+        return t.set_column(t.schema.get_field_index("ts"), "tss", tss)
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    ).map_batches(_tss, batch_format="pyarrow")
+    clicks = (
+        ev.filter(expr="event_type == 'click'")
+        .select_columns(["event_id", "user_id", "tss"])
+        .map_batches(lambda t: t.rename_columns(["click_id", "user_id", "tss"]),
+                     batch_format="pyarrow")
+    )
+    purch = (
+        ev.filter(expr="event_type == 'purchase'")
+        .select_columns(["event_id", "user_id", "tss"])
+        .map_batches(
+            lambda t: pa.table({
+                "purch_id": t["event_id"],
+                "user_id": t["user_id"],
+                "s": t["tss"],
+                "e": pc.add(t["tss"], ATTRIB_WINDOW_S),
+            }),
+            batch_format="pyarrow",
+        )
+    )
+    out = interval_join(
+        clicks, purch, on_col="tss", start_col="s", end_col="e",
+        bucket_width=4 * ATTRIB_WINDOW_S, key_col="user_id",
+        point_cols=["click_id"], interval_cols=["purch_id"],
+    ).to_pandas()
+    out["click_id"] = out["click_id"].astype(np.int64)
+    out["purch_id"] = out["purch_id"].astype(np.int64)
+    return out.sort_values(["click_id", "purch_id"]).reset_index(drop=True)
+
+
 WINDOW_SQL = {
+    "events_attrib": (
+        "WITH l AS (SELECT event_id AS click_id, user_id, "
+        "CAST(floor(epoch(ts)) AS BIGINT) AS tss FROM events "
+        "WHERE event_type = 'click'), "
+        "r AS (SELECT event_id AS purch_id, user_id, "
+        "CAST(floor(epoch(ts)) AS BIGINT) AS tss FROM events "
+        "WHERE event_type = 'purchase') "
+        "SELECT l.click_id, r.purch_id FROM l JOIN r "
+        "ON l.user_id = r.user_id "
+        f"AND l.tss BETWEEN r.tss AND r.tss + {ATTRIB_WINDOW_S} "
+        "ORDER BY 1, 2"
+    ),
     "events_asof": (
         "WITH l AS (SELECT event_id, user_id, "
         "CAST(floor(epoch(ts)) AS BIGINT) AS tss FROM events "

@@ -1,0 +1,213 @@
+"""Train/eval decontamination: flag or drop training documents that
+share any word n-gram with a (small) evaluation set.
+
+The reference engine has no such operator (it's a geocoder; SURVEY.md
+§2.5), but n-gram decontamination is a staple of public LLM-corpus
+pipelines (GPT-3 appendix C, C4, Dolma), so it ships as a first-class
+training-data operator next to the dedup family.
+
+Shape for 100 TB:
+
+* the EVAL side is small by construction (benchmarks are thousands of
+  documents, not billions) — its distinct shingle-hash set is collected
+  once, ``ray.put`` once, and read by every checker actor in
+  ``__init__`` (broadcast small side, never re-shipped per batch);
+* the TRAIN side streams: one ``map_batches`` membership pass, no
+  shuffle at all.  Per-batch work is the same vectorized Arrow
+  lower+split+``binary_join_element_wise`` shingling as
+  ``dedup.MinHasher`` and a ``np.searchsorted`` probe into the sorted
+  broadcast array;
+* if an eval set ever outgrew broadcast (≳10⁸ distinct shingles), the
+  same report is a hash semi-join: emit (shingle_hash, doc_id) rows
+  and ``Dataset.join`` against the eval hash table — the documented
+  fallback, not the default, because real eval sets never get there.
+
+Hashing is the md5-64 scheme of ``dedup._stable_hash64`` (= DuckDB
+``md5_number_lower`` bytes), so the DuckDB oracle reproduces the
+report exactly by joining on the shingle strings themselves.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .dedup import _shingles, _stable_hash64
+
+
+def _batch_doc_shingles(t: pa.Table, text_col: str, id_col: str,
+                        n: int) -> tuple[np.ndarray, list[str]]:
+    """Vectorized per-batch shingling: returns (doc_ids_per_shingle,
+    distinct shingle strings), one row per DISTINCT (doc, shingle).
+
+    Same Arrow kernel chain as ``dedup.MinHasher.__call__`` (lower →
+    regex split → shifted-slice ``binary_join_element_wise`` → group_by
+    distinct); rows with fewer than ``n`` tokens fall back to the
+    single whole-text shingle, matching ``dedup._shingles``.
+    """
+    nrows = t.num_rows
+    ids = t[id_col].to_numpy().astype(np.int64)
+    s = pc.utf8_lower(pc.cast(t[text_col].combine_chunks(), pa.string()))
+    lst = pc.split_pattern_regex(s, pattern=r"\s+")
+    flat = pc.list_flatten(lst)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    parent = pc.list_parent_indices(lst).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(keep))
+    parent = parent[keep]
+    tok_counts = np.bincount(parent, minlength=nrows)
+
+    out_ids: list[np.ndarray] = []
+    out_sh: list[str] = []
+    short = np.flatnonzero((tok_counts > 0) & (tok_counts < n))
+    if short.size:
+        texts = t[text_col].to_pylist()
+        for i in short:
+            sh = _shingles(texts[i], n)
+            if sh:
+                out_ids.append(np.full(len(sh), ids[i], dtype=np.int64))
+                out_sh.extend(sh)
+
+    m = len(flat)
+    if m >= n:
+        parts = [flat.slice(j, m - n + 1) for j in range(n)]
+        joined = pc.binary_join_element_wise(*parts, " ")
+        valid = parent[: m - n + 1] == parent[n - 1:]
+        sh_tbl = (
+            pa.table({
+                "p": pa.array(parent[: m - n + 1][valid]),
+                "sh": joined.filter(pa.array(valid)),
+            })
+            .group_by(["p", "sh"], use_threads=False)
+            .aggregate([])
+        )
+        out_ids.append(ids[sh_tbl["p"].to_numpy()])
+        out_sh.extend(sh_tbl["sh"].to_pylist())
+
+    if not out_ids:
+        return np.empty(0, dtype=np.int64), []
+    return np.concatenate(out_ids), out_sh
+
+
+def eval_shingle_hashes(eval_ds, n: int = 3, text_col: str = "text",
+                        id_col: str = "doc_id") -> np.ndarray:
+    """Distinct md5-64 shingle hashes of the eval set, sorted — the
+    broadcast small side.  Distinct-per-batch first so only hashes
+    (8 B each), never text, reach the driver."""
+    def f(t: pa.Table) -> pa.Table:
+        _, sh = _batch_doc_shingles(t, text_col, id_col, n)
+        hs = np.unique(_stable_hash64(sh)) if sh else \
+            np.empty(0, dtype=np.uint64)
+        return pa.table({"h": pa.array(hs.astype(np.int64))})
+
+    parts = [
+        b["h"].to_numpy()
+        for b in eval_ds.map_batches(f, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows
+    ]
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(parts))
+
+
+class _ContaminationChecker:
+    """Actor-pool stage: broadcast eval-hash probe per train batch.
+
+    ``__init__`` resolves the ``ray.put`` handle once per actor; each
+    ``__call__`` is shingle → hash (cached across batches) →
+    ``searchsorted`` membership → per-doc hit count.
+    """
+
+    def __init__(self, hashes_ref, n: int, text_col: str, id_col: str):
+        import ray
+
+        self.eval_h = ray.get(hashes_ref) if not isinstance(
+            hashes_ref, np.ndarray) else hashes_ref
+        self.n = n
+        self.text_col = text_col
+        self.id_col = id_col
+        self._cache: dict[str, int] = {}
+
+    def _hash(self, shingles: list[str]) -> np.ndarray:
+        cache = self._cache
+        miss = [s for s in shingles if s not in cache]
+        if miss:
+            for s, h in zip(miss, _stable_hash64(miss)):
+                cache[s] = int(np.int64(np.uint64(h)))
+        return np.array([cache[s] for s in shingles], dtype=np.int64)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        doc_ids, sh = _batch_doc_shingles(
+            t, self.text_col, self.id_col, self.n)
+        if not sh:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "n_overlap": pa.array([], pa.int64()),
+            })
+        hs = self._hash(sh)
+        pos = np.searchsorted(self.eval_h, hs)
+        pos[pos >= self.eval_h.size] = 0
+        hit = (self.eval_h[pos] == hs) if self.eval_h.size else \
+            np.zeros(hs.size, dtype=bool)
+        # (doc, shingle) rows are distinct, so a plain per-doc sum of
+        # hits IS the distinct-overlap count
+        hit_docs = doc_ids[hit]
+        uniq, counts = np.unique(hit_docs, return_counts=True)
+        return pa.table({
+            "doc_id": pa.array(uniq),
+            "n_overlap": pa.array(counts.astype(np.int64)),
+        })
+
+
+def contamination_report(train_ds, eval_hashes: np.ndarray, n: int = 3,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         concurrency=(2, 16)):
+    """Per contaminated train doc: (doc_id, n_overlap) with
+    ``n_overlap`` = number of DISTINCT eval shingles it contains.
+    Clean docs emit nothing — output is bounded by contamination."""
+    import ray
+
+    ref = ray.put(np.sort(np.asarray(eval_hashes, dtype=np.int64)))
+    return train_ds.map_batches(
+        _ContaminationChecker,
+        fn_constructor_kwargs=dict(
+            hashes_ref=ref, n=n, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def decontaminate(train_ds, eval_ds, n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Drop every train doc sharing ≥1 n-gram with the eval set.
+
+    The contaminated-id set (bounded by actual contamination, not the
+    corpus) is collected and re-broadcast as a filter — the same
+    keeper-set shape as ``dedup.drop_exact_duplicates``.
+    """
+    import ray
+
+    ev = eval_shingle_hashes(eval_ds, n=n, text_col=text_col, id_col=id_col)
+    rep = contamination_report(train_ds, ev, n=n, text_col=text_col,
+                               id_col=id_col)
+    bad_parts = [
+        b["doc_id"].to_numpy()
+        for b in rep.iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows
+    ]
+    bad = np.unique(np.concatenate(bad_parts)) if bad_parts else \
+        np.empty(0, dtype=np.int64)
+    bad_ref = ray.put(bad)
+
+    def keep(t: pa.Table) -> pa.Table:
+        b = ray.get(bad_ref)
+        ids = t[id_col].to_numpy().astype(np.int64)
+        pos = np.searchsorted(b, ids)
+        pos[pos >= b.size] = 0
+        hit = (b[pos] == ids) if b.size else np.zeros(ids.size, dtype=bool)
+        return t.filter(pa.array(~hit))
+
+    return train_ds.map_batches(keep, batch_format="pyarrow")

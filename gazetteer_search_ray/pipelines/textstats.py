@@ -319,3 +319,93 @@ def text_embeddings(ds, dim: int = 64, text_col: str = "text",
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    adapted to whitespace n-grams) — per doc:
+
+    * ``top2_frac``  — occurrences of the most frequent word 2-gram /
+      total 2-gram occurrences (the "fraction in most common n-gram"
+      family);
+    * ``dup3_frac``  — (total 3-gram occurrences − distinct 3-grams) /
+      total occurrences (the "fraction in duplicate n-grams" family).
+
+    Docs with fewer than ``n`` tokens use the single whole-text shingle
+    (the ``dedup._shingles`` convention shared with the SQL oracle);
+    zero-token docs emit no row.  One streaming ``map_batches`` pass,
+    no shuffle: the Arrow lower+split+``binary_join_element_wise``
+    kernel chain of ``dedup.MinHasher`` plus ``np.*.reduceat`` over
+    per-doc runs.
+    """
+
+    def _gram_counts(t: pa.Table, n: int):
+        """(sorted parent row idx, occurrence count) per DISTINCT
+        (doc, n-gram) in the batch."""
+        nrows = t.num_rows
+        s = pc.utf8_lower(pc.cast(t[text_col].combine_chunks(), pa.string()))
+        lst = pc.split_pattern_regex(s, pattern=r"\s+")
+        flat = pc.list_flatten(lst)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parent = pc.list_parent_indices(lst).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        parent = parent[keep]
+        tok_counts = np.bincount(parent, minlength=nrows)
+
+        ps, cs = [], []
+        short = np.flatnonzero((tok_counts > 0) & (tok_counts < n))
+        if short.size:  # whole-text shingle: one gram, one occurrence
+            ps.append(short.astype(np.int64))
+            cs.append(np.ones(short.size, dtype=np.int64))
+        m = len(flat)
+        if m >= n:
+            parts = [flat.slice(j, m - n + 1) for j in range(n)]
+            joined = pc.binary_join_element_wise(*parts, " ")
+            valid = parent[: m - n + 1] == parent[n - 1:]
+            cnt = (
+                pa.table({
+                    "p": pa.array(parent[: m - n + 1][valid]),
+                    "sh": joined.filter(pa.array(valid)),
+                })
+                .group_by(["p", "sh"], use_threads=False)
+                .aggregate([("p", "count")])
+            )
+            ps.append(cnt["p"].to_numpy().astype(np.int64))
+            cs.append(cnt["p_count"].to_numpy().astype(np.int64))
+        if not ps:
+            return (np.empty(0, dtype=np.int64),) * 2
+        p = np.concatenate(ps)
+        c = np.concatenate(cs)
+        order = np.argsort(p, kind="stable")
+        return p[order], c[order]
+
+    def _per_doc(p, c):
+        """(doc rows, total occurrences, max count, distinct) via
+        reduceat over the sorted parent runs."""
+        if p.size == 0:
+            e = np.empty(0, dtype=np.int64)
+            return e, e, e, e
+        heads = np.concatenate(([0], np.flatnonzero(np.diff(p) != 0) + 1))
+        tot = np.add.reduceat(c, heads)
+        mx = np.maximum.reduceat(c, heads)
+        distinct = np.diff(np.concatenate((heads, [p.size])))
+        return p[heads], tot, mx, distinct
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy().astype(np.int64)
+        p2, c2 = _gram_counts(t, 2)
+        p3, c3 = _gram_counts(t, 3)
+        d2, tot2, mx2, _ = _per_doc(p2, c2)
+        d3, tot3, _, dis3 = _per_doc(p3, c3)
+        # every doc with >=1 token appears in BOTH gram passes (the
+        # whole-text fallback guarantees it), in the same row order
+        assert np.array_equal(d2, d3)
+        return pa.table({
+            "doc_id": pa.array(ids[d2]),
+            "top2_frac": pa.array(mx2 / tot2),
+            "dup3_frac": pa.array((tot3 - dis3) / tot3),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")

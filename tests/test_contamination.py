@@ -1,0 +1,96 @@
+"""Decontamination: broadcast membership pass vs a brute-force
+shingle-set reference, plus the drop consumer and edge rows (short
+docs, empty docs, clean corpus)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from gazetteer_search_ray.pipelines.contamination import (
+    contamination_report,
+    decontaminate,
+    eval_shingle_hashes,
+)
+from gazetteer_search_ray.pipelines.dedup import _shingles
+
+
+def _brute_report(train: pd.DataFrame, ev: pd.DataFrame, n=3):
+    ev_sh = set()
+    for t in ev["text"]:
+        ev_sh.update(_shingles(t, n))
+    rows = []
+    for _, r in train.iterrows():
+        k = len(set(_shingles(r["text"], n)) & ev_sh)
+        if k:
+            rows.append({"doc_id": r["doc_id"], "n_overlap": k})
+    return pd.DataFrame(rows, columns=["doc_id", "n_overlap"])
+
+
+def _ds(df):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pandas(df)).repartition(3)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 25)))
+        for _ in range(120)
+    ]
+    texts[5] = ""  # empty doc
+    texts[7] = "solo"  # < n tokens
+    df = pd.DataFrame({"doc_id": np.arange(120, dtype=np.int64),
+                       "text": texts})
+    ev = df[df.doc_id % 10 == 0].reset_index(drop=True)
+    tr = df[df.doc_id % 10 != 0].reset_index(drop=True)
+    return tr, ev
+
+
+def test_report_matches_bruteforce(ray_session, corpus):
+    tr, ev = corpus
+    hashes = eval_shingle_hashes(_ds(ev), n=3)
+    got = (
+        contamination_report(_ds(tr), hashes, n=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _brute_report(tr, ev).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"doc_id": np.int64, "n_overlap": np.int64}),
+        want.astype({"doc_id": np.int64, "n_overlap": np.int64}),
+    )
+    assert len(got) > 0  # the planted overlap actually fires
+
+
+def test_decontaminate_drops_exactly_the_flagged(ray_session, corpus):
+    tr, ev = corpus
+    kept = decontaminate(_ds(tr), _ds(ev), n=3).to_pandas()
+    bad = set(_brute_report(tr, ev)["doc_id"])
+    assert set(kept["doc_id"]) == set(tr["doc_id"]) - bad
+
+
+def test_clean_corpus_passes_through(ray_session):
+    tr = pd.DataFrame({"doc_id": [1, 2], "text": ["aa bb cc dd", "ee ff gg"]})
+    ev = pd.DataFrame({"doc_id": [9], "text": ["xx yy zz ww"]})
+    hashes = eval_shingle_hashes(_ds(ev), n=3)
+    rep = contamination_report(_ds(tr), hashes, n=3).to_pandas()
+    assert len(rep) == 0
+    kept = decontaminate(_ds(tr), _ds(ev), n=3).to_pandas()
+    assert set(kept["doc_id"]) == {1, 2}
+
+
+def test_empty_eval_set(ray_session):
+    tr = pd.DataFrame({"doc_id": [1], "text": ["aa bb cc"]})
+    ev = pd.DataFrame({"doc_id": [], "text": []}).astype(
+        {"doc_id": np.int64, "text": str})
+    hashes = eval_shingle_hashes(_ds(ev), n=3)
+    assert hashes.size == 0
+    rep = contamination_report(_ds(tr), hashes, n=3).to_pandas()
+    assert len(rep) == 0

@@ -559,3 +559,44 @@ def test_simhash_vectorized_matches_scalar():
         [np.uint64(ref_hasher._hash(x)).astype(np.int64) for x in texts]
     )
     np.testing.assert_array_equal(vec, ref)
+
+
+def test_repetition_stats(ray_session):
+    import ray.data as rd
+    from collections import Counter
+
+    from gazetteer_search_ray.pipelines.textstats import repetition_stats
+
+    docs = [
+        {"doc_id": 0, "text": "a b a b a b"},       # heavy 2-gram repeat
+        {"doc_id": 1, "text": "w x y z q r"},       # all distinct
+        {"doc_id": 2, "text": "solo"},              # < n tokens
+        {"doc_id": 3, "text": ""},                  # no tokens -> no row
+        {"doc_id": 4, "text": "k k k k k"},         # single repeated token
+    ]
+    out = (
+        repetition_stats(rd.from_items(docs).repartition(2))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert 3 not in out.index
+
+    def brute(text):
+        toks = text.lower().split()
+        def grams(n):
+            if len(toks) < n:
+                return [" ".join(toks)]
+            return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        g2, g3 = Counter(grams(2)), Counter(grams(3))
+        t2, t3 = sum(g2.values()), sum(g3.values())
+        return max(g2.values()) / t2, (t3 - len(g3)) / t3
+
+    for d in docs:
+        if not d["text"]:
+            continue
+        f2, f3 = brute(d["text"])
+        assert out.loc[d["doc_id"], "top2_frac"] == pytest.approx(f2)
+        assert out.loc[d["doc_id"], "dup3_frac"] == pytest.approx(f3)
+    # the planted repeats actually rank above the distinct doc
+    assert out.loc[0, "top2_frac"] > out.loc[1, "top2_frac"]
+    assert out.loc[4, "dup3_frac"] > out.loc[1, "dup3_frac"]
