@@ -156,7 +156,8 @@ def run_bench() -> dict:
         sf_timings["sf_index_build"] = round(time.monotonic() - t0, 3)
         dq.get_searcher(SF_DIR)  # warm the cached index for the queries below
         for name in ["bm25_or", "dedup_exact", "dedup_minhash", "ann_topk",
-                     "token_stats", "join_agg"]:
+                     "token_stats", "join_agg", "decontam", "top_tokens",
+                     "events_attrib", "events_asof"]:
             t0 = time.monotonic()
             dq.all_queries()[name](SF_DIR)
             sf_timings[name] = round(time.monotonic() - t0, 3)

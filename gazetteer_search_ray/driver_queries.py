@@ -715,6 +715,17 @@ def q_repetition(sf_dir):
     ]
 
 
+def q_top_tokens(sf_dir):
+    """Corpus top-30 tokens via the mergeable Misra-Gries summary
+    (exact at this capacity — the oracle configuration)."""
+    from .pipelines.textstats import top_tokens
+
+    out = top_tokens(_docs(sf_dir).select_columns(["text"]), k=30)
+    out["rank"] = out["rank"].astype(np.int64)
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out
+
+
 def q_token_count_bpe(sf_dir):
     from .pipelines.textstats import token_count_bpe
 
@@ -1068,6 +1079,12 @@ EXTRA_SQL = {
         "  - (length(regexp_replace(text, '[^0-9]', '', 'g')) / greatest(length(text), 1)::DOUBLE) * 5))), 6) AS quality "
         "FROM documents"
     ),
+    "top_tokens": (
+        f"WITH {TOK_CTE}, "
+        "tc AS (SELECT term, count(*)::BIGINT AS cnt FROM tok2 GROUP BY term) "
+        "SELECT row_number() OVER (ORDER BY cnt DESC, term)::BIGINT AS rank, "
+        "term, cnt FROM tc ORDER BY cnt DESC, term LIMIT 30"
+    ),
     # repetition: whitespace n-gram counts per doc; <n-token docs fall
     # back to the single whole-text shingle (dedup._shingles rule)
     "repetition": (
@@ -1136,6 +1153,7 @@ def all_queries() -> dict:
         "token_stats": q_token_stats,
         "quality": q_quality,
         "repetition": q_repetition,
+        "top_tokens": q_top_tokens,
         "token_count_bpe": q_token_count_bpe,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,

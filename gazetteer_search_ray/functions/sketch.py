@@ -79,3 +79,41 @@ class HyperLogLog:
             if zeros:
                 e = m * np.log(m / zeros)  # linear counting
         return float(e)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters — the mergeable frequent-items summary
+# (Misra & Gries 1982; mergeability per Agarwal et al., "Mergeable
+# Summaries", PODS 2012).  Each batch reduces to ≤ capacity (item,
+# count) rows; summaries merge by summing counts and re-truncating.
+# Guarantee: for true frequency f and stream length N, the summary
+# count c satisfies f - N/(capacity+1) <= c <= f — with capacity >=
+# total distinct items every count is exact (the oracle configuration).
+# ---------------------------------------------------------------------------
+
+
+def mg_truncate(items: np.ndarray, counts: np.ndarray,
+                capacity: int) -> tuple[np.ndarray, np.ndarray]:
+    """Reduce exact/merged (item, count) rows to a Misra-Gries summary
+    of ≤ ``capacity`` rows: subtract the (capacity+1)-th largest count
+    from all, keep positives — the batch-vectorized equivalent of the
+    one-at-a-time decrement rule."""
+    if items.size <= capacity:
+        return items, counts
+    kth = np.partition(counts, counts.size - capacity - 1)[
+        counts.size - capacity - 1]
+    keep = counts > kth
+    return items[keep], counts[keep] - kth
+
+
+def mg_merge(parts: list[tuple[np.ndarray, np.ndarray]],
+             capacity: int) -> tuple[np.ndarray, np.ndarray]:
+    """Merge summaries: concatenate, sum per item, re-truncate."""
+    if not parts:
+        return np.empty(0, dtype=object), np.empty(0, dtype=np.int64)
+    items = np.concatenate([p[0] for p in parts])
+    counts = np.concatenate([p[1] for p in parts])
+    uniq, inv = np.unique(items, return_inverse=True)
+    summed = np.zeros(uniq.size, dtype=np.int64)
+    np.add.at(summed, inv, counts)
+    return mg_truncate(uniq, summed, capacity)

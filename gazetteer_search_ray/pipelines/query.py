@@ -371,7 +371,14 @@ class QueryEngine:
                 self._acc_busy = False
 
     def _eval_bool_dense_inner(self, node: Bool, acc, n: int, reentrant: bool):
-        if node.must:
+        if len(node.must) == 1:
+            # presence needs no counter: one bool scatter
+            cd, cs = self.evaluate(node.must[0])
+            pos = self._positions_for(node.must[0], cd)
+            acc[pos] += cs
+            mask = np.zeros(n, dtype=bool)
+            mask[pos] = True
+        elif node.must:
             cnt = np.zeros(n, dtype=np.int16)
             for child in node.must:
                 cd, cs = self.evaluate(child)
@@ -435,6 +442,17 @@ class QueryEngine:
         return self.reader.doc_ids[hit], scores
 
     def _eval_bool(self, node: Bool):
+        # single-clause rewriting (the ES query-planner identity): a
+        # bool with exactly one scoring clause IS that clause — serves
+        # straight from the leaf cache, no accumulators, no merges
+        if (len(node.must) == 1 and not node.filter and not node.should
+                and not node.must_not):
+            d, s = self.evaluate(node.must[0])
+            return (d, s * node.boost) if node.boost != 1.0 else (d, s)
+        if (len(node.should) == 1 and not node.must and not node.filter
+                and not node.must_not and node.minimum_should_match <= 1):
+            d, s = self.evaluate(node.should[0])
+            return (d, s * node.boost) if node.boost != 1.0 else (d, s)
         # dense fast path: worthwhile once the leaves' posting mass is a
         # sizeable fraction of the doc space (hot-term conjunctions /
         # disjunctions); tiny queries stay on the sorted-merge path
@@ -676,6 +694,8 @@ class QueryEngine:
         pos = self._pos_cache.get(term)
         if pos is None:
             pos = np.searchsorted(self.reader.doc_ids, docs)
+            if self.reader.doc_ids.size < 2**31:
+                pos = pos.astype(np.int32)  # halves scatter-read bytes
             if len(self._pos_cache) < 4096:
                 self._pos_cache[term] = pos
         return pos

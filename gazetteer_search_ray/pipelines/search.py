@@ -314,6 +314,15 @@ class QueryService:
         @ray.remote(num_cpus=num_cpus)
         class _Worker:
             def __init__(self, index_dir: str, use_prior: bool):
+                # each pool actor is budgeted num_cpus=1; Arrow's
+                # default per-process pools are os.cpu_count() threads,
+                # so a 16-actor pool spins 16×32 threads and replay
+                # throughput INVERTS under the thrash (measured: pool=4
+                # 356 QPS → pool=16 88 QPS on a 320k-doc index).
+                import pyarrow as _pa
+
+                _pa.set_cpu_count(1)
+                _pa.set_io_thread_count(2)
                 self.searcher = Searcher(index_dir)
                 self.use_prior = use_prior
 

@@ -409,3 +409,56 @@ def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
         })
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def top_tokens(ds, k: int = 30, capacity: int = 100_000,
+               text_col: str = "text"):
+    """Corpus-wide top-k tokens via the mergeable Misra-Gries summary
+    (`functions/sketch.py::mg_truncate`): each batch reduces to
+    ≤ ``capacity`` (term, cnt) rows — exact Arrow counts truncated by
+    the (capacity+1)-th-largest subtraction — then one small
+    ``groupby(term).sum`` shuffle of capacity-bounded partials and a
+    top-k sort.  With ``capacity`` ≥ distinct terms the result is exact
+    (the oracle configuration); below it, counts are within
+    N/(capacity+1) of truth (Misra-Gries bound), which at 100 TB keeps
+    the shuffle at MBs instead of the full term stream.
+
+    Tokenization matches the token_stats SQL oracle: lower + split on
+    ``[^a-z0-9]+`` + drop empties.  Ties break (cnt desc, term asc).
+    """
+    from ..functions.sketch import mg_truncate
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(pc.cast(t[text_col].combine_chunks(), pa.string()))
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(s, pattern="[^a-z0-9]+"))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        toks = toks.filter(pc.not_equal(toks, ""))
+        if len(toks) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        cnt = (
+            pa.table({"term": toks})
+            .group_by("term", use_threads=False)
+            .aggregate([("term", "count")])
+        )
+        items, counts = mg_truncate(
+            np.asarray(cnt["term"].to_pylist(), dtype=object),
+            cnt["term_count"].to_numpy().astype(np.int64),
+            capacity,
+        )
+        return pa.table({"term": pa.array(items.astype(str)),
+                         "cnt": pa.array(counts)})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .sum("cnt")
+        .sort(["sum(cnt)", "term"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    agg = agg.rename(columns={"sum(cnt)": "cnt"})
+    agg["rank"] = np.arange(1, len(agg) + 1, dtype=np.int64)
+    return agg[["rank", "term", "cnt"]]

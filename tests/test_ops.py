@@ -600,3 +600,58 @@ def test_repetition_stats(ray_session):
     # the planted repeats actually rank above the distinct doc
     assert out.loc[0, "top2_frac"] > out.loc[1, "top2_frac"]
     assert out.loc[4, "dup3_frac"] > out.loc[1, "dup3_frac"]
+
+
+def test_misra_gries_bound_and_exactness():
+    from collections import Counter
+
+    from gazetteer_search_ray.functions.sketch import mg_merge, mg_truncate
+
+    rng = np.random.default_rng(5)
+    stream = list(rng.choice([f"t{i}" for i in range(50)], size=2000,
+                             p=np.linspace(1, 50, 50) / np.sum(np.linspace(1, 50, 50))))
+    true = Counter(stream)
+
+    # capacity >= distinct: exact
+    it = np.asarray(sorted(true), dtype=object)
+    ct = np.array([true[t] for t in it], dtype=np.int64)
+    i2, c2 = mg_truncate(it, ct, capacity=100)
+    assert dict(zip(i2, c2)) == dict(true)
+
+    # merged batch summaries respect the N/(cap+1) undercount bound
+    cap = 8
+    parts = []
+    for lo in range(0, 2000, 250):
+        c = Counter(stream[lo:lo + 250])
+        items = np.asarray(sorted(c), dtype=object)
+        counts = np.array([c[t] for t in items], dtype=np.int64)
+        parts.append(mg_truncate(items, counts, cap))
+    mi, mc = mg_merge(parts, cap)
+    got = dict(zip(mi, mc))
+    for t, f in true.items():
+        c = got.get(t, 0)
+        assert c <= f
+        assert f - c <= len(stream) / (cap + 1) * 2  # merge of 8 summaries
+    # the heaviest item survives truncation
+    heavy = max(true, key=true.get)
+    assert heavy in got
+
+
+def test_top_tokens_exact(ray_session):
+    import re
+    from collections import Counter
+
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.textstats import top_tokens
+
+    rng = np.random.default_rng(6)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [{"text": " ".join(rng.choice(vocab, size=20))} for _ in range(100)]
+    out = top_tokens(rd.from_items(docs).repartition(4), k=10)
+    true = Counter()
+    for d in docs:
+        true.update(t for t in re.split("[^a-z0-9]+", d["text"].lower()) if t)
+    want = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(out["term"], out["cnt"])) == want
+    assert list(out["rank"]) == list(range(1, 11))
