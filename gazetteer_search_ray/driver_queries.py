@@ -500,6 +500,36 @@ def q_grouped_topk(sf_dir):
     return out[["lang", "doc_id", "n_chars"]]
 
 
+STRATA_CAP = 25
+HIST_BINS, HIST_LO, HIST_HI = 32, 0.0, 2048.0
+
+
+def q_stratified(sf_dir):
+    """Deterministic stratified sampling: ≤25 docs per lang by smallest
+    Knuth hash (row_number window oracle)."""
+    from .pipelines.relational import stratified_sample
+
+    out = stratified_sample(
+        _docs(sf_dir).select_columns(["doc_id", "lang"]), "lang", STRATA_CAP
+    )
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out[["lang", "doc_id"]]
+
+
+def q_histogram(sf_dir):
+    """Equi-width n_chars histogram (mergeable bincount partials)."""
+    from .pipelines.relational import column_histogram
+
+    out = column_histogram(
+        _docs(sf_dir).select_columns(["n_chars"]),
+        "n_chars", HIST_BINS, HIST_LO, HIST_HI,
+    )
+    out["bucket"] = out["bucket"].astype(np.int64)
+    out["cnt"] = out["cnt"].astype(np.int64)
+    out["edge_lo"] = np.round(out["edge_lo"].astype(np.float64), 6)
+    return out
+
+
 def q_dedup_exact(sf_dir):
     from .pipelines.dedup import dedup_exact
 
@@ -1038,6 +1068,20 @@ EXTRA_SQL = {
         f"WHERE (doc_id * 2654435761) % 4294967296 < "
         f"{int(SAMPLE_FRAC * 4294967296)} ORDER BY doc_id"
     ),
+    "stratified_sample": (
+        f"SELECT lang, doc_id FROM ("
+        f"SELECT lang, doc_id, row_number() OVER (PARTITION BY lang "
+        f"ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn "
+        f"FROM documents) t WHERE rn <= {STRATA_CAP} ORDER BY lang, doc_id"
+    ),
+    "histogram": (
+        f"WITH b AS (SELECT least(greatest(CAST(floor(n_chars / "
+        f"{(HIST_HI - HIST_LO) / HIST_BINS}) AS BIGINT), 0), {HIST_BINS - 1}) "
+        f"AS bucket FROM documents) "
+        f"SELECT bucket, round(bucket * {(HIST_HI - HIST_LO) / HIST_BINS}, 6) "
+        f"AS edge_lo, count(*)::BIGINT AS cnt FROM b GROUP BY bucket "
+        f"ORDER BY bucket"
+    ),
     "grouped_topk": (
         f"SELECT lang, doc_id, n_chars FROM ("
         f"SELECT lang, doc_id, n_chars, row_number() OVER "
@@ -1154,6 +1198,8 @@ def all_queries() -> dict:
         "quality": q_quality,
         "repetition": q_repetition,
         "top_tokens": q_top_tokens,
+        "stratified_sample": q_stratified,
+        "histogram": q_histogram,
         "token_count_bpe": q_token_count_bpe,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,

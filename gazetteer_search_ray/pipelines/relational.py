@@ -360,3 +360,60 @@ def parse_first_number(ds, col: str, out_col: str = "housenumber_number"):
         return t.append_column(out_col, out)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def stratified_sample(ds, group_col: str, cap: int, id_col: str = "doc_id"):
+    """Deterministic stratified sampling: keep (up to) ``cap`` rows per
+    group — the ones with the smallest Knuth multiplicative hash of
+    ``id_col``, so membership is uniform-ish within each stratum yet
+    reproducible across runs/engines with no RNG state (the
+    ``sample_hash`` arithmetic, rank-capped per group).
+
+    Rides the ``grouped_topk`` run-limited combiner: each batch forwards
+    ≤ cap rows per group, so the merge sees combiner output, never the
+    corpus.  Returns a pandas frame (group, id) sorted."""
+    def add_h(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(4294967296)
+        # negate: grouped_topk takes val DESC, we want hash ASC
+        return t.append_column("__h", pa.array(-h.astype(np.int64)))
+
+    out = grouped_topk(
+        ds.map_batches(add_h, batch_format="pyarrow"),
+        group_col, "__h", cap, id_col=id_col,
+    )
+    return (
+        out[[group_col, id_col]]
+        .sort_values([group_col, id_col])
+        .reset_index(drop=True)
+    )
+
+
+def column_histogram(ds, col: str, bins: int, lo: float, hi: float):
+    """Fixed-range equi-width histogram — the mergeable distribution
+    summary (out-of-range values clamp into the edge buckets).  Each
+    batch reduces to ≤ ``bins`` (bucket, cnt) partial rows via one
+    ``np.bincount``; partials merge in a tiny ``groupby(bucket).sum``.
+    Deterministic, so quantile reads off the cumulative histogram are
+    reproducible anywhere (and in the SQL oracle)."""
+    w = (hi - lo) / bins
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.clip(((x - lo) // w).astype(np.int64), 0, bins - 1)
+        cnt = np.bincount(b, minlength=bins)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bucket": pa.array(nz),
+                         "cnt": pa.array(cnt[nz])})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .sum("cnt")
+        .to_pandas()
+        .rename(columns={"sum(cnt)": "cnt"})
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    out["edge_lo"] = lo + out["bucket"] * w
+    return out[["bucket", "edge_lo", "cnt"]]

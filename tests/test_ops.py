@@ -655,3 +655,42 @@ def test_top_tokens_exact(ray_session):
     want = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert list(zip(out["term"], out["cnt"])) == want
     assert list(out["rank"]) == list(range(1, 11))
+
+
+def test_stratified_sample_deterministic_cap(ray_session):
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.relational import stratified_sample
+
+    rng = np.random.default_rng(9)
+    rows = [{"doc_id": int(i), "lang": ["en", "de", "fr"][i % 3]}
+            for i in range(300)]
+    ds = rd.from_items(rows).repartition(4)
+    out = stratified_sample(ds, "lang", cap=10)
+    assert (out.groupby("lang").size() == 10).all()
+    # deterministic: brute-force the same hash-rank rule
+    h = {r["doc_id"]: (r["doc_id"] * 2654435761) % 4294967296 for r in rows}
+    for lang in ("en", "de", "fr"):
+        ids = sorted((i for i in h if rows[i]["lang"] == lang),
+                     key=lambda i: (h[i], i))[:10]
+        assert sorted(out[out.lang == lang]["doc_id"]) == sorted(ids)
+    # stable across re-runs
+    out2 = stratified_sample(rd.from_items(rows).repartition(7), "lang", 10)
+    assert out.equals(out2)
+
+
+def test_column_histogram_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.relational import column_histogram
+
+    rng = np.random.default_rng(10)
+    vals = np.concatenate([rng.integers(0, 100, 500), [250, -5, 99999]])
+    ds = rd.from_items([{"x": int(v)} for v in vals]).repartition(5)
+    out = column_histogram(ds, "x", bins=10, lo=0.0, hi=100.0)
+    want = np.bincount(
+        np.clip((vals // 10).astype(np.int64), 0, 9), minlength=10)
+    got = np.zeros(10, dtype=np.int64)
+    got[out["bucket"].to_numpy()] = out["cnt"].to_numpy()
+    assert (got == want).all()
+    assert got.sum() == len(vals)  # clamped edges keep every row
