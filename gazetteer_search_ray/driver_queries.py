@@ -563,6 +563,34 @@ def q_dedup_minhash(sf_dir):
     return out
 
 
+def q_dedup_clusters(sf_dir):
+    """Near-dup clustering: LSH pairs → connected components →
+    (doc_id, cluster_id=min of component)."""
+    from .pipelines.dedup import neardup_clusters
+
+    out = neardup_clusters(_docs(sf_dir), threshold=0.5)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["cluster_id"] = out["cluster_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_dedup_cluster_drop(sf_dir):
+    """Corpus after near-dup clustering: component representatives
+    (min doc_id) plus all unclustered docs survive."""
+    from .pipelines.dedup import drop_near_duplicates
+
+    out = (
+        drop_near_duplicates(
+            _docs(sf_dir).select_columns(["doc_id", "text", "lang"]),
+            threshold=0.5,
+        )
+        .select_columns(["doc_id", "lang"])
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_dedup_simhash(sf_dir):
     from .pipelines.dedup import simhash_pairs
 
@@ -914,6 +942,31 @@ ORDER BY doc_a, doc_b"""
     ),
 }
 
+# near-dup clustering: the minhash candidate pairs (est ≥ 0.5, the
+# dedup_minhash set) as an undirected graph; components via a recursive
+# transitive-closure CTE (components are tiny, closure stays small);
+# cluster id = min reachable node (self-loops make min cover self).
+_CLUSTER_CTES = (
+    "p AS (SELECT doc_a, doc_b FROM est WHERE ej >= 0.5), "
+    "e AS (SELECT doc_a AS a, doc_b AS b FROM p "
+    "UNION SELECT doc_b, doc_a FROM p "
+    "UNION SELECT doc_a, doc_a FROM p "
+    "UNION SELECT doc_b, doc_b FROM p), "
+    "reach(a, b) AS (SELECT a, b FROM e "
+    "UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)"
+)
+
+DEDUP_SQL["dedup_clusters"] = (
+    f"WITH RECURSIVE {_minhash_sig_ctes()}, {_CLUSTER_CTES} "
+    "SELECT a AS doc_id, min(b)::BIGINT AS cluster_id FROM reach "
+    "GROUP BY a ORDER BY a"
+)
+DEDUP_SQL["dedup_cluster_drop"] = (
+    f"WITH RECURSIVE {_minhash_sig_ctes()}, {_CLUSTER_CTES} "
+    "SELECT d.doc_id, d.lang FROM documents d WHERE d.doc_id NOT IN ("
+    "SELECT a FROM reach GROUP BY a HAVING a <> min(b)) ORDER BY d.doc_id"
+)
+
 # decontamination: same shingle CTE (n=3, distinct per doc); the
 # pipeline probes md5-64 hashes, the oracle joins the shingle strings —
 # identical modulo md5-64 collisions, the established dedup assumption.
@@ -1215,6 +1268,8 @@ def all_queries() -> dict:
         "events_attrib": q_events_attrib,
         "decontam": q_decontam,
         "decontam_drop": q_decontam_drop,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_cluster_drop": q_dedup_cluster_drop,
     }
 
 

@@ -695,3 +695,75 @@ def ngram_jaccard_pairs(
          "doc_b": np.array(out_b, dtype=np.int64),
          "jaccard": np.array(out_j, dtype=np.float64)}
     )
+
+
+def union_find_labels(pairs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Connected components of an undirected pair list: returns
+    (sorted unique node ids, component label per node) with label =
+    the MINIMUM node id in the component.
+
+    Vectorized min-label propagation with pointer jumping: each round
+    pulls the min label across every edge (two ``np.minimum.at``
+    scatters) then halves chain depth with ``lab = lab[lab]``;
+    converges in O(log diameter) rounds.  Near-duplicate components
+    are tiny (a handful of copies of one document), so this is 2-3
+    rounds in practice; the input is the candidate-pair set, already
+    bounded by actual duplication, never the corpus.
+    """
+    if pairs.size == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    nodes, flat = np.unique(pairs.ravel(), return_inverse=True)
+    e = flat.reshape(-1, 2)
+    lab = np.arange(nodes.size, dtype=np.int64)
+    while True:
+        prev = lab.copy()
+        m = np.minimum(lab[e[:, 0]], lab[e[:, 1]])
+        np.minimum.at(lab, e[:, 0], m)
+        np.minimum.at(lab, e[:, 1], m)
+        lab = lab[lab]  # pointer jumping
+        if np.array_equal(lab, prev):
+            break
+    return nodes, nodes[lab]
+
+
+def neardup_clusters(ds, threshold: float = 0.5, num_perm: int = 64,
+                     bands: int = 16, shingle_n: int = 3,
+                     text_col: str = "text", id_col: str = "doc_id"):
+    """Near-duplicate clustering — the corpus-dedup completion step
+    (SlimPajama/Dolma-style): MinHash-LSH pairs → connected components
+    → (doc_id, cluster_id) with cluster_id = min doc in the component.
+    Only docs that appear in a pair are emitted (singletons are their
+    own implicit cluster)."""
+    import pandas as pd
+
+    pairs = minhash_lsh_pairs(ds, num_perm=num_perm, bands=bands,
+                              shingle_n=shingle_n, threshold=threshold,
+                              text_col=text_col, id_col=id_col)
+    nodes, labels = union_find_labels(
+        pairs[["doc_a", "doc_b"]].to_numpy(dtype=np.int64))
+    return pd.DataFrame({"doc_id": nodes, "cluster_id": labels})
+
+
+def drop_near_duplicates(ds, threshold: float = 0.5, num_perm: int = 64,
+                         bands: int = 16, shingle_n: int = 3,
+                         text_col: str = "text", id_col: str = "doc_id"):
+    """Corpus minus non-representative near-duplicates: every clustered
+    doc except its component's min id is dropped (broadcast victim set
+    + streaming filter — the ``drop_exact_duplicates`` shape)."""
+    import ray
+
+    cl = neardup_clusters(ds, threshold, num_perm, bands, shingle_n,
+                          text_col, id_col)
+    victims = np.sort(
+        cl.loc[cl["doc_id"] != cl["cluster_id"], "doc_id"].to_numpy(np.int64))
+    ref = ray.put(victims)
+
+    def keep(t: pa.Table) -> pa.Table:
+        v = ray.get(ref)
+        ids = t[id_col].to_numpy().astype(np.int64)
+        if v.size == 0:
+            return t
+        pos = np.minimum(np.searchsorted(v, ids), v.size - 1)
+        return t.filter(pa.array(v[pos] != ids))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

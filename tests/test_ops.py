@@ -694,3 +694,47 @@ def test_column_histogram_matches_numpy(ray_session):
     got[out["bucket"].to_numpy()] = out["cnt"].to_numpy()
     assert (got == want).all()
     assert got.sum() == len(vals)  # clamped edges keep every row
+
+
+def test_union_find_labels_chains_and_components():
+    from gazetteer_search_ray.pipelines.dedup import union_find_labels
+
+    # long chain (worst case for propagation), a triangle, a pair,
+    # arbitrary insertion order
+    chain = [(i + 1, i) for i in range(100, 120)]
+    pairs = np.array(chain + [(7, 3), (3, 9), (9, 7), (500, 42)],
+                     dtype=np.int64)
+    rng = np.random.default_rng(12)
+    pairs = pairs[rng.permutation(len(pairs))]
+    nodes, labels = union_find_labels(pairs)
+    lab = dict(zip(nodes, labels))
+    assert all(lab[i] == 100 for i in range(100, 121))
+    assert lab[3] == lab[7] == lab[9] == 3
+    assert lab[42] == lab[500] == 42
+    # empty input
+    n2, l2 = union_find_labels(np.empty((0, 2), dtype=np.int64))
+    assert n2.size == 0 and l2.size == 0
+
+
+def test_drop_near_duplicates_keeps_representatives(ray_session):
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.dedup import (
+        drop_near_duplicates,
+        neardup_clusters,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [{"doc_id": i, "text": " ".join(
+        f"d{i}w{j}" for j in range(15))} for i in range(40)]
+    # plant a 3-copy near-dup cluster
+    for i, extra in [(50, ""), (51, " tail"), (52, " tail2")]:
+        rows.append({"doc_id": i, "text": base + extra})
+    ds = rd.from_items(rows).repartition(3)
+    cl = neardup_clusters(ds, threshold=0.5)
+    assert set(cl["doc_id"]) >= {50, 51, 52}
+    assert (cl.set_index("doc_id").loc[[50, 51, 52], "cluster_id"] == 50).all()
+    kept = drop_near_duplicates(ds, threshold=0.5).to_pandas()
+    assert 50 in set(kept["doc_id"])
+    assert not {51, 52} & set(kept["doc_id"])
+    assert set(range(40)) <= set(kept["doc_id"])
