@@ -233,6 +233,21 @@ class QueryEngine:
             tfs, dl, df, self.reader.n_docs, self.reader.avgdl, self.k1, self.b
         )
 
+    def seed_term(self, term: str, docs: np.ndarray, tfs: np.ndarray,
+                  df: int) -> None:
+        """Warm the term caches from externally-decoded postings — the
+        shared-warm path: one pool actor decodes, the arrays travel the
+        object store once, and every actor seeds zero-copy views
+        instead of re-reading + re-decoding the row groups.  Scoring
+        runs locally through the exact ``eval_term`` arithmetic, so
+        seeded and self-computed results are bit-identical."""
+        df_eff = self.df_override.get(term, df)
+        key = (term, 1.0, df_eff)
+        if key not in self._term_eval_cache and \
+                len(self._term_eval_cache) < 1024:
+            self._term_eval_cache[key] = (
+                docs, self._score_tf(docs, tfs, df_eff))
+
     def eval_term(self, node: Term):
         tp = self.reader.posting(node.term)
         df = self._df(node.term, tp) if tp is not None else 0

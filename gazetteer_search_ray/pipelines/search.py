@@ -333,6 +333,24 @@ class QueryService:
                     self.searcher.engine.eval_term(Term(t))
                 return len(terms)
 
+            def export_postings(self, terms: list[str]) -> dict:
+                """Decode once for the whole pool: raw (docs, tfs, df)
+                per term — the actor return value lands in the object
+                store, so peers adopt it zero-copy."""
+                rd_ = self.searcher.engine.reader
+                out = {}
+                for t in terms:
+                    tp = rd_.posting(t)
+                    if tp is not None:
+                        docs, tfs = rd_.decode_all(tp)
+                        out[t] = (docs, tfs, tp.df)
+                return out
+
+            def adopt_postings(self, shared: dict) -> int:
+                for t, (docs, tfs, df) in shared.items():
+                    self.searcher.engine.seed_term(t, docs, tfs, df)
+                return len(shared)
+
             def search_batch(self, rows: list[dict], summarize: bool = False) -> list[dict]:
                 out = []
                 for q in rows:
@@ -363,7 +381,12 @@ class QueryService:
         self._rr = 0
 
     def warm(self, terms: list[str]) -> None:
-        self._ray.get([w.warm.remote(terms) for w in self.workers])
+        """Shared warm: worker 0 decodes the terms once; the decoded
+        arrays ship through the object store ONCE and every actor
+        seeds zero-copy views (N× less decode + one physical copy
+        per node instead of one per actor)."""
+        ref = self.workers[0].export_postings.remote(terms)
+        self._ray.get([w.adopt_postings.remote(ref) for w in self.workers])
 
     def submit(self, rows: list[dict], summarize: bool = False):
         w = self.workers[self._rr % self.pool_size]

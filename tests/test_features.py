@@ -431,6 +431,8 @@ def test_query_service_pool(idx):
         exp = local.search(q["q"], k=20, use_prior=False)
         got = o["hits"]
         assert [h["doc_id"] for h in got] == [h["doc_id"] for h in exp]
+        # shared-warm seeding must be bit-identical to local evaluation
+        assert [h["score"] for h in got] == [h["score"] for h in exp]
     summ = svc.replay(queries, batch_size=2, summarize=True)
     assert summ[1]["n_hits"] == len(local.search("def return", k=20, use_prior=False))
     svc.shutdown()
