@@ -736,6 +736,21 @@ def q_emb_neardup(sf_dir):
     return out
 
 
+def q_emb_clusters(sf_dir):
+    """Embedding near-dup clustering: cosine≥0.4 pairs → connected
+    components (union-find) → (vec_id, cluster_id=min of component)."""
+    from .pipelines.dedup import union_find_labels
+    from .pipelines.similarity import embedding_neardup_pairs
+
+    pairs = embedding_neardup_pairs(_emb(sf_dir), threshold=0.4)
+    nodes, labels = union_find_labels(
+        pairs[["vec_a", "vec_b"]].to_numpy(dtype=np.int64))
+    out = pd.DataFrame({"vec_id": nodes, "cluster_id": labels})
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    out["cluster_id"] = out["cluster_id"].astype(np.int64)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_token_stats(sf_dir):
     from .pipelines.textstats import token_stats
 
@@ -1160,6 +1175,20 @@ EXTRA_SQL = {
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
         "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
     ),
+    # components over the cosine-pair graph via recursive transitive
+    # closure (the dedup_clusters shape, embeddings side)
+    "emb_clusters": (
+        "WITH RECURSIVE p AS ("
+        "SELECT a.vec_id AS va, b.vec_id AS vb FROM embeddings a "
+        "JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4), "
+        "e AS (SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p "
+        "UNION SELECT va, va FROM p UNION SELECT vb, vb FROM p), "
+        "reach(a, b) AS (SELECT a, b FROM e "
+        "UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a) "
+        "SELECT a AS vec_id, min(b)::BIGINT AS cluster_id FROM reach "
+        "GROUP BY a ORDER BY a"
+    ),
     "token_stats": (
         f"WITH {TOK_CTE} "
         "SELECT d.doc_id, count(t.term)::BIGINT AS token_count, "
@@ -1247,6 +1276,7 @@ def all_queries() -> dict:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "emb_neardup": q_emb_neardup,
+        "emb_clusters": q_emb_clusters,
         "token_stats": q_token_stats,
         "quality": q_quality,
         "repetition": q_repetition,

@@ -116,7 +116,11 @@ class IndexReader:
             for fname in sorted(os.listdir(pdir)):
                 if not fname.endswith(".parquet"):
                     continue
-                pf = pq.ParquetFile(os.path.join(pdir, fname))
+                # memory_map: row-group reads borrow the OS page cache
+                # (shared across every reader/actor process on the
+                # node) instead of buffering a private copy per open
+                pf = pq.ParquetFile(os.path.join(pdir, fname),
+                                    memory_map=True)
                 fi = len(self._files)
                 self._files.append(pf)
                 term_idx = pf.schema_arrow.get_field_index("term")
