@@ -81,3 +81,20 @@ def test_interval_join_no_matches(ray_session):
     points = pd.DataFrame({"pid": [0], "on": [100]})
     ivls = pd.DataFrame({"iid": [1], "s": [0], "e": [50]})
     assert _run(points, ivls, 10) == []
+
+
+def test_interval_join_string_keys(ray_session):
+    rng = np.random.default_rng(8)
+    ks = np.array(["alpha", "beta", "gamma"])
+    points = pd.DataFrame({
+        "pid": np.arange(80, dtype=np.int64),
+        "on": rng.integers(0, 120, 80),
+        "k": ks[rng.integers(0, 3, 80)],
+    })
+    ivls = pd.DataFrame({
+        "iid": np.arange(20, dtype=np.int64),
+        "s": rng.integers(0, 110, 20),
+        "k": ks[rng.integers(0, 3, 20)],
+    })
+    ivls["e"] = ivls["s"] + rng.integers(0, 30, 20)
+    assert _run(points, ivls, 25, key="k") == _brute(points, ivls, key="k")
