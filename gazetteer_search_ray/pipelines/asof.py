@@ -90,10 +90,14 @@ def _resolve_sorted(t: pa.Table, key_col: str, left_cols: list[str],
     return pa.table(cols)
 
 
-class _InteriorResolver:
-    """``map_batches`` stage over the sorted exchange: resolves every
-    complete (interior) key-run, drops the first/last runs — those are
-    re-emitted by ``_BoundaryExtract`` and fixed up on the driver."""
+class _MixedResolver:
+    """ONE ``map_batches`` pass over the sorted exchange emitting both
+    outputs from the same view of each batch — resolved interior-run
+    left rows (``__kind=0``) AND the raw first/last-run boundary rows
+    (``__kind=1``) — so exactly-once row coverage is structural, not an
+    implicit complement property of two independent passes whose batch
+    slicing might differ.  Each call also asserts per-batch left-row
+    conservation (left in == resolved out + boundary left out)."""
 
     def __init__(self, key_col, left_cols, right_cols):
         self.key_col, self.left_cols, self.right_cols = \
@@ -103,30 +107,30 @@ class _InteriorResolver:
         key = t[self.key_col].to_numpy(zero_copy_only=False)
         heads = _run_heads(key)
         if heads.size <= 2:  # <=2 runs: nothing is provably complete
-            sl = t.slice(0, 0)
+            lo = hi = 0
         else:
             lo, hi = int(heads[1]), int(heads[-1])
-            sl = t.slice(lo, hi - lo)
-        return _resolve_sorted(sl, self.key_col, self.left_cols,
-                               self.right_cols)
-
-
-class _BoundaryExtract:
-    """The complementary stage: passes through only the first and last
-    key-run of each sorted block (O(#blocks) runs total)."""
-
-    def __init__(self, key_col):
-        self.key_col = key_col
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        key = t[self.key_col].to_numpy(zero_copy_only=False)
-        heads = _run_heads(key)
-        if heads.size <= 2:
-            return t
-        lo, hi = int(heads[1]), int(heads[-1])
-        mask = np.ones(t.num_rows, dtype=bool)
-        mask[lo:hi] = False
-        return t.filter(pa.array(mask))
+        resolved = _resolve_sorted(
+            t.slice(lo, hi - lo), self.key_col, self.left_cols,
+            self.right_cols)
+        bmask = np.ones(t.num_rows, dtype=bool)
+        bmask[lo:hi] = False
+        bnd = t.filter(pa.array(bmask))
+        side = t[_SIDE].to_numpy(zero_copy_only=False)
+        n_left_in = int((side == _SIDE_L).sum())
+        n_left_bnd = int(
+            (bnd[_SIDE].to_numpy(zero_copy_only=False) == _SIDE_L).sum())
+        assert resolved.num_rows + n_left_bnd == n_left_in, (
+            "asof row-conservation violated within a sorted block")
+        resolved = resolved.append_column(
+            _SIDE, pa.array(np.full(resolved.num_rows, -1, np.int8)))
+        out = pa.concat_tables([
+            resolved.append_column(
+                "__kind", pa.array(np.zeros(resolved.num_rows, np.int8))),
+            bnd.append_column(
+                "__kind", pa.array(np.ones(bnd.num_rows, np.int8))),
+        ], promote_options="default")
+        return out
 
 
 def asof_join(left_ds, right_ds, key_col: str, on_col: str):
@@ -161,21 +165,26 @@ def asof_join(left_ds, right_ds, key_col: str, on_col: str):
         lambda t: _tag(t, _SIDE_L, all_names, types), batch_format="pyarrow")
     tagged_r = right_ds.map_batches(
         lambda t: _tag(t, _SIDE_R, all_names, types), batch_format="pyarrow")
-    # ONE range exchange; sort materializes its output blocks anyway,
-    # so the explicit materialize only pins them for the two single-pass
-    # reads below (no re-sort, no second shuffle)
-    merged = (
+    # ONE range exchange, then ONE pass over the sorted blocks emitting
+    # both resolved rows and boundary rows from the same batch view (the
+    # exactly-once coverage is structural — see _MixedResolver)
+    mixed = (
         tagged_l.union(tagged_r)
         .sort([key_col, on_col, _SIDE])
+        .map_batches(_MixedResolver(key_col, left_cols, right_payload),
+                     batch_format="pyarrow")
         .materialize()
     )
-    resolved = merged.map_batches(
-        _InteriorResolver(key_col, left_cols, right_payload),
+    resolved = mixed.map_batches(
+        lambda t: t.filter(pc.equal(t["__kind"], 0)).drop_columns(
+            ["__kind", _SIDE]),
         batch_format="pyarrow",
     )
     bnd_parts = [
-        b for b in merged.map_batches(
-            _BoundaryExtract(key_col), batch_format="pyarrow"
+        b for b in mixed.map_batches(
+            lambda t: t.filter(pc.equal(t["__kind"], 1)).drop_columns(
+                ["__kind"]),
+            batch_format="pyarrow",
         ).iter_batches(batch_format="pyarrow", batch_size=None)
         if b.num_rows
     ]

@@ -33,7 +33,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .dedup import _shingles, _stable_hash64
+from .dedup import (_cached_hash64, _join_partitions, _shingles,
+                    _stable_hash64)
 
 
 def _batch_doc_shingles(t: pa.Table, text_col: str, id_col: str,
@@ -132,12 +133,10 @@ class _ContaminationChecker:
         self._cache: dict[str, int] = {}
 
     def _hash(self, shingles: list[str]) -> np.ndarray:
-        cache = self._cache
-        miss = [s for s in shingles if s not in cache]
-        if miss:
-            for s, h in zip(miss, _stable_hash64(miss)):
-                cache[s] = int(np.int64(np.uint64(h)))
-        return np.array([cache[s] for s in shingles], dtype=np.int64)
+        # size-capped cache (dedup._cached_hash64): shingles are nearly
+        # all unique, so an unbounded dict would accumulate the actor's
+        # whole input text
+        return _cached_hash64(self._cache, shingles).astype(np.int64)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         doc_ids, sh = _batch_doc_shingles(
@@ -180,19 +179,94 @@ def contamination_report(train_ds, eval_hashes: np.ndarray, n: int = 3,
     )
 
 
+def contamination_report_join(train_ds, eval_ds, n: int = 3,
+                              text_col: str = "text", id_col: str = "doc_id",
+                              num_partitions: int | None = None):
+    """The hash **semi-join** report — for eval sets too large to
+    broadcast (≳10⁸ distinct shingles): the train side emits thin
+    distinct ``(shingle_hash, doc_id)`` rows, the eval side reduces to
+    distinct hashes with one ``groupby``, and an inner hash-shuffle
+    ``Dataset.join`` + ``groupby(doc_id).count()`` produces the same
+    (doc_id, n_overlap) rows as :func:`contamination_report` — nothing
+    eval-sized ever lands on the driver.  Differentially tested against
+    the broadcast path."""
+    from ray.data.aggregate import Count
+
+    def train_rows(t: pa.Table) -> pa.Table:
+        doc_ids, sh = _batch_doc_shingles(t, text_col, id_col, n)
+        hs = _stable_hash64(sh).astype(np.int64) if sh else \
+            np.empty(0, dtype=np.int64)
+        return pa.table({"__h": pa.array(hs),
+                         id_col: pa.array(doc_ids)})
+
+    def eval_rows(t: pa.Table) -> pa.Table:
+        _, sh = _batch_doc_shingles(t, text_col, id_col, n)
+        hs = np.unique(_stable_hash64(sh)).astype(np.int64) if sh else \
+            np.empty(0, dtype=np.int64)
+        return pa.table({"__h": pa.array(hs)})
+
+    # distributed distinct of the eval hashes (per-batch distinct rows
+    # may still collide across batches)
+    ev = (
+        eval_ds.map_batches(eval_rows, batch_format="pyarrow")
+        .groupby("__h")
+        .aggregate(Count(alias_name="__c"))
+        .map_batches(lambda t: t.drop_columns(["__c"]),
+                     batch_format="pyarrow")
+    )
+    tr = train_ds.map_batches(train_rows, batch_format="pyarrow")
+    # train rows are distinct per (doc, shingle) and the eval side is
+    # distinct per hash, so the inner join yields exactly one row per
+    # (doc, matching distinct shingle): a plain count IS n_overlap
+    joined = tr.join(ev, join_type="inner",
+                     num_partitions=_join_partitions(num_partitions),
+                     on=("__h",))
+    return joined.groupby(id_col).aggregate(Count(alias_name="n_overlap"))
+
+
 def decontaminate(train_ds, eval_ds, n: int = 3, text_col: str = "text",
-                  id_col: str = "doc_id"):
+                  id_col: str = "doc_id", strategy: str = "auto",
+                  eval_broadcast_limit: int = 100_000_000,
+                  contaminated_broadcast_limit: int = 100_000_000):
     """Drop every train doc sharing ≥1 n-gram with the eval set.
 
-    The contaminated-id set (bounded by actual contamination, not the
-    corpus) is collected and re-broadcast as a filter — the same
-    keeper-set shape as ``dedup.drop_exact_duplicates``.
+    ``strategy``:
+
+    * ``"broadcast"`` (the common case — real eval sets are thousands
+      of docs): eval hashes broadcast once, contaminated-id set
+      (bounded by actual contamination) collected and re-broadcast as
+      a filter — the ``dedup.drop_exact_duplicates`` shape;
+    * ``"join"``: the fully distributed fallback — semi-join report
+      (:func:`contamination_report_join`) + left-anti ``Dataset.join``
+      drop, for eval sets / contamination fractions too large for any
+      driver-side array;
+    * ``"auto"``: broadcast, flipping each leg to the join path when
+      its broadcast side would exceed the corresponding limit.
     """
     import ray
+    import ray.data as rd
 
-    ev = eval_shingle_hashes(eval_ds, n=n, text_col=text_col, id_col=id_col)
-    rep = contamination_report(train_ds, ev, n=n, text_col=text_col,
-                               id_col=id_col)
+    if strategy not in ("auto", "broadcast", "join"):
+        raise ValueError(strategy)
+
+    use_join_report = strategy == "join"
+    ev = None
+    if not use_join_report:
+        ev = eval_shingle_hashes(eval_ds, n=n, text_col=text_col,
+                                 id_col=id_col)
+        if strategy == "auto" and ev.size > eval_broadcast_limit:
+            use_join_report = True
+
+    if use_join_report:
+        rep = contamination_report_join(train_ds, eval_ds, n=n,
+                                        text_col=text_col, id_col=id_col)
+    else:
+        rep = contamination_report(train_ds, ev, n=n, text_col=text_col,
+                                   id_col=id_col)
+
+    if strategy == "join":
+        return _anti_join_ids(train_ds, rep, id_col)
+
     bad_parts = [
         b["doc_id"].to_numpy()
         for b in rep.iter_batches(batch_format="pyarrow", batch_size=None)
@@ -200,6 +274,12 @@ def decontaminate(train_ds, eval_ds, n: int = 3, text_col: str = "text",
     ]
     bad = np.unique(np.concatenate(bad_parts)) if bad_parts else \
         np.empty(0, dtype=np.int64)
+    if strategy == "auto" and bad.size > contaminated_broadcast_limit:
+        return _anti_join_ids(
+            train_ds,
+            rd.from_arrow(pa.table({"doc_id": pa.array(bad)})),
+            id_col,
+        )
     bad_ref = ray.put(bad)
 
     def keep(t: pa.Table) -> pa.Table:
@@ -211,3 +291,31 @@ def decontaminate(train_ds, eval_ds, n: int = 3, text_col: str = "text",
         return t.filter(pa.array(~hit))
 
     return train_ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _anti_join_ids(ds, bad_ds, id_col: str,
+                   num_partitions: int | None = None):
+    """ds minus rows whose ``id_col`` appears in ``bad_ds.doc_id`` —
+    left-outer hash-shuffle join + null filter (Ray Data has no native
+    anti join)."""
+    nparts = _join_partitions(num_partitions)
+    marked = bad_ds.map_batches(
+        lambda t: pa.table({
+            "__bad_id": t["doc_id"],
+            "__bad": pa.array(np.ones(t.num_rows, np.int8)),
+        }),
+        batch_format="pyarrow",
+    ).repartition(nparts)
+    # ^ repartition normalizes the empty zero-column blocks a groupby
+    # can emit — Ray's hash-shuffle join chokes on them ("no match for
+    # FieldRef" in the Acero finalize; reproduced on Ray 2.49)
+    joined = ds.join(marked, join_type="left_outer",
+                     num_partitions=nparts,
+                     on=(id_col,), right_on=("__bad_id",))
+
+    def keep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_null(t["__bad"]))
+        return t.drop_columns(
+            [c for c in ("__bad", "__bad_id") if c in t.column_names])
+
+    return joined.map_batches(keep, batch_format="pyarrow")

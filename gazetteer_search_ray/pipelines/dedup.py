@@ -23,6 +23,7 @@ on the driver):
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
@@ -30,6 +31,56 @@ import pyarrow as pa
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 _FNV = np.uint64(1099511628211)
+
+# One tokenizer for the scalar fallbacks AND the Arrow hot path: RE2's
+# \s is ASCII-only ([\t\n\f\r ]), while Python's str.split() breaks on
+# full Unicode whitespace — a NBSP-bearing doc would otherwise shingle
+# differently depending on which path classified it (and diverge from
+# the RE2-based DuckDB oracle).
+_WS_RE = re.compile(r"[\t\n\f\r ]+")
+
+# Shingle/token hash caches are per-actor and long-lived; 3-gram
+# shingles are nearly all unique across documents, so an unbounded
+# cache accumulates roughly the actor's entire input text.  Once full,
+# misses are hashed per batch (still one vectorized `_stable_hash64`
+# call) and simply not remembered.
+_CACHE_CAP = 1 << 20
+
+
+def _join_partitions(requested: int | None = None) -> int:
+    """Hash-shuffle partition count for ``Dataset.join``: the join spins
+    up one aggregator actor per partition, so demanding 32 on a 4-CPU
+    session starves the pool (measured: a toy join crawls for minutes).
+    Default = the session's CPU count, clamped to [2, 32]."""
+    if requested is not None:
+        return requested
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, min(32, cpus))
+
+
+def _cached_hash64(cache: dict[str, int], strings: list[str]) -> np.ndarray:
+    """md5-64 of ``strings`` through a size-capped cache: hits read the
+    dict, misses hash in ONE batched call and are cached only while the
+    cap allows."""
+    miss = [s for s in strings if s not in cache]
+    if miss:
+        hs = _stable_hash64(miss)
+        if len(cache) + len(miss) <= _CACHE_CAP:
+            for s, h in zip(miss, hs):
+                cache[s] = int(h)
+        else:  # cap reached: answer from a batch-local overlay
+            local = dict(zip(miss, hs))
+            out = np.empty(len(strings), dtype=np.uint64)
+            for i, s in enumerate(strings):
+                v = cache.get(s)
+                out[i] = local[s] if v is None else v
+            return out
+    return np.array([cache[s] for s in strings], dtype=np.uint64)
 
 
 def _stable_hash64(tokens: list[str]) -> np.ndarray:
@@ -46,7 +97,7 @@ def _stable_hash64(tokens: list[str]) -> np.ndarray:
 
 
 def _shingles(text: str, n: int) -> list[str]:
-    toks = (text or "").lower().split()
+    toks = [w for w in _WS_RE.split((text or "").lower()) if w]
     if len(toks) < n:
         return [" ".join(toks)] if toks else []
     return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
@@ -114,7 +165,8 @@ def drop_exact_duplicates(ds, text_col: str = "text", id_col: str = "doc_id",
     keyed = keepers.map_batches(
         lambda t: t.rename_columns([jk]), batch_format="pyarrow"
     )
-    joined = ds.join(keyed, join_type="inner", num_partitions=32,
+    joined = ds.join(keyed, join_type="inner",
+                     num_partitions=_join_partitions(),
                      on=(id_col,), right_on=(jk,))
     return joined.map_batches(
         lambda t: t.drop_columns([jk]) if jk in t.column_names else t,
@@ -150,23 +202,13 @@ class MinHasher:
         sh = set(_shingles(text, self.shingle_n))
         if not sh:
             return np.full(self.num_perm, np.iinfo(np.int64).max, dtype=np.uint64)
-        cache = self._token_cache
-        miss = [s for s in sh if s not in cache]
-        if miss:
-            for s, h in zip(miss, _stable_hash64(miss)):
-                cache[s] = int(h)
-        hs = np.array([cache[s] for s in sh], dtype=np.uint64)
+        hs = _cached_hash64(self._token_cache, list(sh))
         # universal hashing family (a*h + b) mod p, min per permutation
         vals = (hs[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE
         return vals.min(axis=1)
 
     def _hash_distinct(self, shingles: list[str]) -> np.ndarray:
-        cache = self._token_cache
-        miss = [s for s in shingles if s not in cache]
-        if miss:
-            for s, h in zip(miss, _stable_hash64(miss)):
-                cache[s] = int(h)
-        return np.array([cache[s] for s in shingles], dtype=np.uint64)
+        return _cached_hash64(self._token_cache, shingles)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -498,15 +540,10 @@ class SimHasher:
     def _hash(self, text: str) -> int:
         """Scalar reference implementation (differential-tested against
         the vectorized ``__call__``)."""
-        toks = (text or "").lower().split()
+        toks = [w for w in _WS_RE.split((text or "").lower()) if w]
         if not toks:
             return 0
-        cache = self._cache
-        miss = [t for t in set(toks) if t not in cache]
-        if miss:
-            for t, h in zip(miss, _stable_hash64(miss)):
-                cache[t] = int(h)
-        hs = np.array([cache[t] for t in toks], dtype=np.uint64)
+        hs = _cached_hash64(self._cache, toks)
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
             np.int64
         )
@@ -534,12 +571,7 @@ class SimHasher:
             if len(d):
                 codes = d.indices.to_numpy()
                 uniq = d.dictionary.to_pylist()
-                cache = self._cache
-                miss = [w for w in uniq if w not in cache]
-                if miss:
-                    for w, h in zip(miss, _stable_hash64(miss)):
-                        cache[w] = int(h)
-                hs = np.array([cache[w] for w in uniq], dtype=np.uint64)
+                hs = _cached_hash64(self._cache, uniq)
                 # vocab × 64 signed bit matrix (±1), scattered per doc
                 bitmat = (
                     ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
@@ -726,6 +758,106 @@ def union_find_labels(pairs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return nodes, nodes[lab]
 
 
+def union_find_labels_distributed(pairs_ds, max_rounds: int = 64,
+                                  num_partitions: int | None = None):
+    """Connected components over a PAIRS DATASET — the scale fallback
+    for candidate-pair sets too large for the driver's vectorized
+    :func:`union_find_labels` (a 50%-duplicated 10¹²-doc corpus can
+    produce billions of pairs).
+
+    Iterative min-label propagation expressed in Ray Data relational
+    ops: each round every node pulls the minimum label across its edges
+    (edges ⋈ labels → groupby(node).min), then one pointer-jumping
+    round (labels ⋈ labels on label) halves chain depth — O(log
+    diameter) rounds, each a hash-shuffle bounded by |edges|+|nodes|,
+    nothing collected.  Labels only ever decrease, so Σlabel is a
+    monotone convergence witness (one tiny aggregate per round).
+
+    Input: Dataset with int64 columns (a, b).  Output: Dataset
+    (doc_id, cluster_id), cluster_id = min node id of the component —
+    identical to :func:`union_find_labels` (differentially tested).
+    """
+    from ray.data.aggregate import Min, Sum
+
+    num_partitions = _join_partitions(num_partitions)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy().astype(np.int64)
+        b = t["b"].to_numpy().astype(np.int64)
+        return pa.table({
+            "node": pa.array(np.concatenate([a, b])),
+            "nbr": pa.array(np.concatenate([b, a])),
+        })
+
+    # pin the doubled edge list once — every round joins against it
+    edges = pairs_ds.map_batches(both_dirs,
+                                 batch_format="pyarrow").materialize()
+    # initial label of each node = min neighbor ∧ itself
+    labels = (
+        edges.map_batches(
+            lambda t: pa.table({
+                "node": t["node"],
+                "lab": pa.array(np.minimum(t["node"].to_numpy(),
+                                           t["nbr"].to_numpy())),
+            }),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Min("lab", alias_name="lab"))
+        .materialize()
+    )
+
+    def _sum_lab(ls) -> int:
+        row = ls.aggregate(Sum("lab", alias_name="s"))
+        return int(row["s"])
+
+    prev = _sum_lab(labels)
+    for _ in range(max_rounds):
+        # propagate: node ← min(label, min over nbrs' labels)
+        nbr_lab = (
+            edges.join(labels, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=("nbr",), right_on=("node",))
+            .map_batches(
+                lambda t: pa.table({"node": t["node"], "lab": t["lab"]}),
+                batch_format="pyarrow",
+            )
+        )
+        labels = (
+            nbr_lab.union(labels)
+            .groupby("node")
+            .aggregate(Min("lab", alias_name="lab"))
+        )
+        # pointer jumping: lab ← lab[lab]
+        hop = labels.map_batches(
+            lambda t: pa.table({"node2": t["node"], "lab2": t["lab"]}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            labels.join(hop, join_type="inner",
+                        num_partitions=num_partitions,
+                        on=("lab",), right_on=("node2",))
+            .map_batches(
+                lambda t: pa.table({"node": t["node"], "lab": t["lab2"]}),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        cur = _sum_lab(labels)
+        if cur == prev:
+            break
+        prev = cur
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "cluster_id": t["lab"]}),
+        batch_format="pyarrow",
+    )
+
+
+# above this many candidate pairs the driver-side vectorized union-find
+# hands off to the distributed label-propagation fallback
+_UF_DRIVER_LIMIT = 20_000_000
+
+
 def neardup_clusters(ds, threshold: float = 0.5, num_perm: int = 64,
                      bands: int = 16, shingle_n: int = 3,
                      text_col: str = "text", id_col: str = "doc_id"):
@@ -739,8 +871,19 @@ def neardup_clusters(ds, threshold: float = 0.5, num_perm: int = 64,
     pairs = minhash_lsh_pairs(ds, num_perm=num_perm, bands=bands,
                               shingle_n=shingle_n, threshold=threshold,
                               text_col=text_col, id_col=id_col)
-    nodes, labels = union_find_labels(
-        pairs[["doc_a", "doc_b"]].to_numpy(dtype=np.int64))
+    arr = pairs[["doc_a", "doc_b"]].to_numpy(dtype=np.int64)
+    if len(arr) > _UF_DRIVER_LIMIT:
+        # scale fallback: label propagation over a pairs Dataset — no
+        # driver-sized label array (the pair set itself is the remaining
+        # driver bound of the LSH collect, documented in
+        # _pairs_from_band_rows)
+        import ray.data as rd
+
+        pds = rd.from_arrow(pa.table({"a": pa.array(arr[:, 0]),
+                                      "b": pa.array(arr[:, 1])}))
+        out = union_find_labels_distributed(pds).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+    nodes, labels = union_find_labels(arr)
     return pd.DataFrame({"doc_id": nodes, "cluster_id": labels})
 
 

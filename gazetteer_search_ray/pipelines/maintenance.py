@@ -54,24 +54,25 @@ def backfill_column(index_dir: str, values: dict[int, object], column: str,
     import ray
 
     keys = np.array(sorted(values), dtype=np.int64)
-    vals_arr = pa.array([values[int(k)] for k in keys])
-    ref = ray.put((keys, vals_arr, pa.array([default]).type))
+    # one array holding mapped values PLUS the default in its last slot:
+    # Arrow infers a single unified type for all of them, and a value
+    # explicitly set to None round-trips as null instead of turning into
+    # the default (misses take the default slot, not a fill_null)
+    combo = pa.array([values[int(k)] for k in keys] + [default])
+    ref = ray.put((keys, combo))
 
     @ray.remote
     def rewrite(path: str) -> int:
         t = pq.read_table(path)
-        keys, vals_arr, def_type = ray.get(ref)  # plasma-local, zero-copy
+        keys, combo = ray.get(ref)  # plasma-local, zero-copy
         d = t["doc_id"].to_numpy()
         if keys.size:
-            import pyarrow.compute as pc
-
             pos = np.minimum(np.searchsorted(keys, d), keys.size - 1)
             hit = keys[pos] == d
-            # miss rows take through a null index, then fill the default
-            idx = pa.array(np.where(hit, pos, 0).astype(np.int64), mask=~hit)
-            col = pc.fill_null(vals_arr.take(idx), default)
+            idx = np.where(hit, pos, keys.size)  # miss → default slot
+            col = combo.take(pa.array(idx.astype(np.int64)))
         else:
-            col = pa.array([default] * t.num_rows, def_type)
+            col = combo.take(pa.array(np.zeros(t.num_rows, np.int64)))
         if column in t.column_names:
             t = t.drop_columns([column])
         t = t.append_column(column, col)

@@ -210,6 +210,26 @@ class QueryEngine:
         self._filter_cache: dict[tuple, np.ndarray] = {}
         self._ub_cache: dict[str, float] = {}
         self._pos_cache: dict[str, np.ndarray] = {}
+        # leaf cache for the float32 approximate pre-pass: child key →
+        # (doc positions int32, scores float32, max score).  Halves the
+        # per-query scatter/read bytes vs the float64 arrays — the
+        # engine's per-query memory traffic is THE scaling bottleneck on
+        # bandwidth-bound machines (round-3 finding); exactness is
+        # restored by a float64 rescore of the ±bound candidate band.
+        self._leaf32_cache: dict[tuple, tuple] = {}
+        # A/B switch for the float32 pre-pass (bench evidence + safety
+        # valve); results are bit-identical either way
+        self.approx32: bool = True
+        # dense-vector cache for VERY hot leaves (df·8 ≥ n): per leaf a
+        # full-width float32 score vector + uint8 presence vector, so
+        # the per-query accumulate is a pure SIMD `acc += vec` / `cnt +=
+        # pres` instead of a fancy-index scatter (~20× fewer ns/element
+        # measured on 300k-df terms).  Size-budgeted: at 32M-doc shards
+        # one vector is 128 MB, so only the hottest few terms fit — the
+        # rest stay on the scatter path, same results.
+        self._densevec_cache: dict[tuple, tuple] = {}
+        self._densevec_bytes: int = 0
+        self.densevec_budget: int = 1 << 30
         # reusable dense accumulator (one per engine ≙ per actor); the
         # dense path is only entered when the accumulator fits the
         # per-actor budget (float64/doc: 32M docs ≙ 256 MB) — giant
@@ -660,6 +680,10 @@ class QueryEngine:
                 return self.top_k_disjunction(
                     [c for c in node.should], k, filter_docs=fdocs
                 )
+        if isinstance(node, Bool):
+            res = self._topk_bool_approx(node, k)
+            if res is not None:
+                return res
         docs, scores = self.evaluate(node)
         return self._topk(docs, scores, k)
 
@@ -715,30 +739,272 @@ class QueryEngine:
                 self._pos_cache[term] = pos
         return pos
 
-    def _topk_dense(self, infos, k: int, filter_docs: np.ndarray | None):
-        """Dense-accumulator disjunction: one float64 slot per doc,
-        scores scattered with fancy-index adds (posting doc sets are
-        unique per term).  No sorts, no concatenations — per-query
-        memory traffic is Σdf scatter writes + one linear scan, which is
-        what keeps many query actors from saturating memory bandwidth
-        (the round-1 QPS-scaling bottleneck).  Summation order = UB
-        order, matching the pruned path's pinned convention."""
-        n = self.reader.doc_ids.size
-        if self._acc is None or self._acc.size != n:
-            self._acc = np.zeros(n, dtype=np.float64)
-        acc = self._acc
-        acc.fill(0.0)
-        for node, tp, _ub in infos:
-            d, s = self.eval_term(node)
-            if d.size:
-                acc[self._term_positions(node.term, d)] += s
-        if filter_docs is not None:
-            keep = np.zeros(n, dtype=bool)
-            keep[np.searchsorted(self.reader.doc_ids, filter_docs)] = True
-            hit = np.flatnonzero((acc != 0.0) & keep)
+    # -- float32 pre-pass (exact after float64 candidate rescore) --------
+
+    _F32EPS = float(np.finfo(np.float32).eps)
+
+    def _leaf32(self, child):
+        """(positions, scores float32, smax, docs, scores float64) of a
+        Term/Prefix leaf, cached.  The float32 copy halves the per-query
+        scatter-read bytes — per-query memory traffic over hot-term
+        arrays is the engine's scaling bottleneck on bandwidth-bound
+        machines (round-3 measurement); the float64 originals stay
+        referenced for the exact candidate rescore."""
+        if isinstance(child, Term):
+            tp = self.reader.posting(child.term)
+            df = self._df(child.term, tp) if tp is not None else 0
+            key = ("T", child.term, child.boost, df)
+        elif isinstance(child, Prefix):
+            key = ("P", child.prefix, child.boost, child.max_expansions)
         else:
-            hit = np.flatnonzero(acc)
-        return self._topk(self.reader.doc_ids[hit], acc[hit].copy(), k)
+            return None
+        hit = self._leaf32_cache.get(key)
+        if hit is not None:
+            return hit
+        d, s = self.evaluate(child)
+        pos = self._positions_for(child, d)
+        res = (pos, s.astype(np.float32),
+               float(s.max()) if s.size else 0.0, d, s)
+        if len(self._leaf32_cache) < 2048:
+            self._leaf32_cache[key] = res
+        return res
+
+    def _leaf_dense(self, child, lf) -> tuple | None:
+        """(float32 score vector over the doc space, uint8 presence
+        vector) for a hot leaf, cached under the dense-vector budget;
+        None when the leaf is too rare to pay off or the budget is
+        spent (caller scatters instead)."""
+        n = self.reader.doc_ids.size
+        pos = lf[0]
+        if pos.size * 8 < n:
+            return None
+        if isinstance(child, Term):
+            key = ("T", child.term, child.boost)
+        elif isinstance(child, Prefix):
+            key = ("P", child.prefix, child.boost, child.max_expansions)
+        else:
+            return None
+        hit = self._densevec_cache.get(key)
+        if hit is not None:
+            return hit
+        need = n * 5  # 4B score + 1B presence
+        if self._densevec_bytes + need > self.densevec_budget:
+            return None
+        vec = np.zeros(n, dtype=np.float32)
+        vec[pos] = lf[1]
+        pres = np.zeros(n, dtype=np.uint8)
+        pres[pos] = 1
+        self._densevec_cache[key] = (vec, pres)
+        self._densevec_bytes += need
+        return vec, pres
+
+    def _select_band(self, acc: np.ndarray, mask, k: int, bound: float):
+        """Candidate positions from the float32 accumulator WITHOUT
+        materializing the full hit list: zero out non-mask slots (every
+        masked doc has a positive score — all leaves are non-negative
+        BM25/constant scores and the mask requires ≥1 scoring match),
+        then one partition for the approximate kth and one flatnonzero
+        over the band.  Docs within 2×bound of the kth survive, so the
+        exact top-k and its ties always reach the float64 rescore."""
+        if mask is not None:
+            np.multiply(acc, mask, out=acc)
+        n = acc.size
+        if n > k:
+            # kth over the FULL array: zeros rank below every real match
+            # (scores are positive), so kth > 0 ⟺ ≥k matches exist — no
+            # separate count_nonzero pass
+            kth = float(np.partition(acc, n - k)[n - k])
+            thr = kth - 2.0 * bound
+            if kth > 0 and thr > 0:
+                # one ulp down so the float32 compare can't exclude a
+                # boundary candidate
+                t32 = np.nextafter(np.float32(thr), np.float32(-np.inf))
+                return np.flatnonzero(acc >= t32)
+        cand = np.flatnonzero(acc)
+        return cand if cand.size else None
+
+    def _acc32_buf(self, n: int) -> np.ndarray:
+        buf = getattr(self, "_acc32", None)
+        if buf is None or buf.size != n:
+            self._acc32 = buf = np.zeros(n, dtype=np.float32)
+        else:
+            buf.fill(0.0)
+        return buf
+
+    def _cnt8_buf(self, n: int) -> np.ndarray:
+        buf = getattr(self, "_cnt8", None)
+        if buf is None or buf.size != n:
+            self._cnt8 = buf = np.zeros(n, dtype=np.uint8)
+        else:
+            buf.fill(0)
+        return buf
+
+    def _rescore_exact(self, cand: np.ndarray, leaves_must: list,
+                       leaves_should: list = ()) -> np.ndarray:
+        """Float64 scores of candidate positions with the pinned float
+        association: must children summed in child order, should children
+        summed into their own accumulator in child order, then added as
+        ONE addend — exactly the sparse path's ``Σmust +
+        gather(union_sum(should))`` and the dense path's ``acc[hit] +
+        acc_s[hit]``, so the result is bit-identical to both."""
+        docs = self.reader.doc_ids[cand]
+        scores = np.zeros(docs.size, dtype=np.float64)
+        for _child, lf in leaves_must:
+            scores += _gather_scores(docs, lf[3], lf[4])
+        if leaves_should:
+            s_acc = np.zeros(docs.size, dtype=np.float64)
+            for _child, lf in leaves_should:
+                s_acc += _gather_scores(docs, lf[3], lf[4])
+            if leaves_must:
+                scores += s_acc
+            else:
+                scores = s_acc
+        return scores
+
+    def _topk_bool_approx(self, node: Bool, k: int):
+        """Exact top-k of a hot Bool plan through the float32 pre-pass:
+        approximate dense accumulation (float32 scores, uint8 counters —
+        ~half the scatter bytes of the float64 dense path), then an
+        exact float64 rescore of only the ±bound candidate band around
+        the approximate kth score.  Returns None when the plan shape
+        doesn't qualify (caller falls back to the exact dense/sparse
+        paths).  Output is bit-identical to exhaustive evaluation
+        (differentially tested)."""
+        n = self.reader.doc_ids.size
+        if not self.approx32 or not getattr(self, "dense_enabled", True) \
+                or not (0 < n <= self.dense_doc_cap):
+            return None
+        scoring = [*node.must, *node.should]
+        # single scoring clause: the _eval_bool rewrite serves it straight
+        # from the leaf cache — cheaper than any accumulator
+        if (len(scoring) < 2
+                or len(scoring) > 64
+                or not all(isinstance(c, (Term, Prefix)) for c in scoring)
+                or not all(isinstance(f, (ColumnFilter, RangeFilter))
+                           for f in node.filter)
+                or not all(isinstance(c, (Term, Prefix, ColumnFilter,
+                                          RangeFilter))
+                           for c in node.must_not)):
+            return None
+        if self._bool_mass(node) * 4 < n:
+            return None  # rare terms: sparse merges are cheaper
+        leaves_m = [(c, self._leaf32(c)) for c in node.must]
+        leaves_s = [(c, self._leaf32(c)) for c in node.should]
+
+        acc = self._acc32_buf(n)
+
+        def accumulate(child, lf, cnt):
+            dv = self._leaf_dense(child, lf)
+            if dv is not None:  # SIMD adds, no fancy-index scatter
+                np.add(acc, dv[0], out=acc)
+                if cnt is not None:
+                    np.add(cnt, dv[1], out=cnt)
+            else:
+                acc[lf[0]] += lf[1]
+                if cnt is not None:
+                    cnt[lf[0]] += 1
+
+        if len(leaves_m) == 1:
+            c0, lf0 = leaves_m[0]
+            dv = self._leaf_dense(c0, lf0)
+            if dv is not None:
+                np.add(acc, dv[0], out=acc)
+                mask = dv[1] != 0
+            else:
+                acc[lf0[0]] += lf0[1]
+                mask = np.zeros(n, dtype=bool)
+                mask[lf0[0]] = True
+        elif leaves_m:
+            cnt = self._cnt8_buf(n)
+            for c, lf in leaves_m:
+                accumulate(c, lf, cnt)
+            mask = cnt == len(leaves_m)
+        else:
+            mask = None
+
+        for child in node.filter:
+            fd, _ = self.evaluate(child)
+            fmask = np.zeros(n, dtype=bool)
+            fmask[self._positions_for(child, fd)] = True
+            mask = fmask if mask is None else (mask & fmask)
+
+        if leaves_s:
+            s_cnt = None
+            if node.minimum_should_match > 0 or mask is None:
+                s_cnt = np.zeros(n, dtype=np.uint8)
+            for c, lf in leaves_s:
+                accumulate(c, lf, s_cnt)
+            if mask is None:
+                mask = s_cnt >= max(1, node.minimum_should_match)
+            elif node.minimum_should_match > 0:
+                mask = mask & (s_cnt >= node.minimum_should_match)
+
+        if mask is None:
+            return EMPTY_I, EMPTY_F
+
+        for child in node.must_not:
+            nd, _ = self.evaluate(child)
+            if nd.size:
+                mask[self._positions_for(child, nd)] = False
+
+        smax_sum = sum(lf[2] for _c, lf in (*leaves_m, *leaves_s))
+        bound = 4.0 * len(scoring) * self._F32EPS * smax_sum
+        cand = self._select_band(acc, mask, k, bound)
+        if cand is None:
+            return EMPTY_I, EMPTY_F
+        scores = self._rescore_exact(cand, leaves_m, leaves_s)
+        if node.boost != 1.0:
+            scores *= node.boost
+        return self._topk(self.reader.doc_ids[cand], scores, k)
+
+    def _topk_dense(self, infos, k: int, filter_docs: np.ndarray | None):
+        """Dense-accumulator disjunction through the float32 pre-pass:
+        one float32 slot per doc, scores scattered with fancy-index adds
+        (posting doc sets are unique per term), exact float64 rescore of
+        the candidate band.  No sorts, no concatenations — per-query
+        memory traffic is Σdf half-width scatter writes + one linear
+        scan (the round-1 QPS-scaling bottleneck, halved again in
+        round 4).  Rescore summation order = UB order, matching the
+        pruned path's pinned convention."""
+        n = self.reader.doc_ids.size
+        if not self.approx32:  # legacy float64 accumulator (A/B baseline)
+            if self._acc is None or self._acc.size != n:
+                self._acc = np.zeros(n, dtype=np.float64)
+            acc64 = self._acc
+            acc64.fill(0.0)
+            for node, tp, _ub in infos:
+                d, s = self.eval_term(node)
+                if d.size:
+                    acc64[self._term_positions(node.term, d)] += s
+            if filter_docs is not None:
+                keep = np.zeros(n, dtype=bool)
+                keep[np.searchsorted(self.reader.doc_ids, filter_docs)] = True
+                hit = np.flatnonzero((acc64 != 0.0) & keep)
+            else:
+                hit = np.flatnonzero(acc64)
+            return self._topk(self.reader.doc_ids[hit], acc64[hit].copy(), k)
+        acc = self._acc32_buf(n)
+        leaves = []
+        smax_sum = 0.0
+        for node, tp, _ub in infos:
+            lf = self._leaf32(node)
+            leaves.append((node, lf))
+            dv = self._leaf_dense(node, lf)
+            if dv is not None:
+                np.add(acc, dv[0], out=acc)
+            elif lf[0].size:
+                acc[lf[0]] += lf[1]
+            smax_sum += lf[2]
+        mask = None
+        if filter_docs is not None:
+            mask = np.zeros(n, dtype=bool)
+            mask[np.searchsorted(self.reader.doc_ids, filter_docs)] = True
+        bound = 4.0 * len(leaves) * self._F32EPS * smax_sum
+        cand = self._select_band(acc, mask, k, bound)
+        if cand is None:
+            return EMPTY_I, EMPTY_F
+        scores = self._rescore_exact(cand, leaves)
+        return self._topk(self.reader.doc_ids[cand], scores, k)
 
     def top_k_disjunction(self, terms: list[Term], k: int = 20,
                           filter_docs: np.ndarray | None = None):

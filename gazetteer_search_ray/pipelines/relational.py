@@ -246,16 +246,37 @@ def sample_hash(ds, frac: float, id_col: str = "doc_id"):
 
 
 def grouped_topk(ds, group_col: str, val_col: str, k: int,
-                 id_col: str = "doc_id"):
+                 id_col: str = "doc_id", as_pandas: bool = True,
+                 small_limit: int = 200_000):
     """Top-k rows per group by (val desc, id asc) — the window-function
     ``row_number() OVER (PARTITION BY g ORDER BY v DESC)`` analog.
 
-    Per-batch combiner: each batch emits at most k rows per group it
-    contains (vectorized lexsort + run-limited take), so the final merge
-    sees ≤ groups × batches × k rows, never the input.  Returns a pandas
-    frame (group, id, val) sorted (group, rank).
+    Fully distributed merge (nothing group-cardinality-sized ever lands
+    on the driver):
+
+    1. per-batch combiner: each batch emits at most k rows per group it
+       contains (vectorized lexsort + run-limited take), so the merge
+       sees ≤ groups × batches × k rows, never the input;
+    2. ONE ``sort([group, val desc, id])`` range exchange over the
+       combiner output — a global sort keeps each group contiguous and
+       already rank-ordered;
+    3. per sorted block, every key-run strictly interior to the block is
+       COMPLETE: its first min(k, len) rows ARE the group's top-k (one
+       vectorized run-limited take).  Only the first/last run of each
+       block — O(#blocks) runs — pass through to a tiny driver-side
+       rebase (the postings-merge boundary pattern,
+       ``stages/postings.py:78-128``).
+
+    Combiner outputs of ≤ ``small_limit`` rows skip the sort exchange
+    and merge on the driver — exact same result, none of the toy-scale
+    shuffle overhead (the ``_pairs_from_band_rows`` shortcut pattern).
+
+    Returns a pandas frame (group, id, val) sorted (group, rank) when
+    ``as_pandas`` (the oracle-comparison shape), else the un-collected
+    Dataset for group cardinalities too large to materialize anywhere.
     """
     import pandas as pd
+    import ray.data as rd
 
     def partial(t: pa.Table) -> pa.Table:
         g = np.asarray(t[group_col].to_pylist(), dtype=object)
@@ -272,18 +293,74 @@ def grouped_topk(ds, group_col: str, val_col: str, k: int,
         sel = np.concatenate(keep) if keep else np.empty(0, np.int64)
         return t.take(pa.array(sel))
 
-    parts = ds.select_columns([group_col, val_col, id_col]).map_batches(
-        partial, batch_format="pyarrow"
+    def rank_runs(t: pa.Table) -> pa.Table:
+        """Within-run rank per row; first/last run of the block → -1
+        (may straddle a sorted-block boundary)."""
+        n = t.num_rows
+        if n == 0:
+            return t.append_column("__rank", pa.array([], pa.int64()))
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        change[1:] = g[1:] != g[:-1]
+        heads = np.flatnonzero(change)
+        run_id = np.cumsum(change) - 1
+        rank = np.arange(n, dtype=np.int64) - heads[run_id]
+        if heads.size <= 2:  # ≤2 runs: everything may straddle
+            rank[:] = -1
+        else:
+            rank[: heads[1]] = -1
+            rank[heads[-1]:] = -1
+        return t.append_column("__rank", pa.array(rank))
+
+    parts = (
+        ds.select_columns([group_col, val_col, id_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .materialize()
+    )
+    if parts.count() <= small_limit:
+        small = (
+            parts.to_pandas()
+            .sort_values([group_col, val_col, id_col],
+                         ascending=[True, False, True], kind="mergesort")
+            .groupby(group_col, sort=True)
+            .head(k)
+            .reset_index(drop=True)[[group_col, id_col, val_col]]
+        )
+        if as_pandas:
+            return small
+        return rd.from_pandas(small[[group_col, val_col, id_col]])
+    mixed = (
+        parts.sort([group_col, val_col, id_col],
+                   descending=[False, True, False])
+        .map_batches(rank_runs, batch_format="pyarrow")
+        .materialize()
+    )
+    fin = mixed.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t["__rank"], 0),
+                    pc.less(t["__rank"], k))
+        ).drop_columns(["__rank"]),
+        batch_format="pyarrow",
+    )
+    bnd = mixed.map_batches(
+        lambda t: t.filter(pc.less(t["__rank"], 0)).drop_columns(["__rank"]),
+        batch_format="pyarrow",
     ).to_pandas()
-    out = []
-    for gval, rows in parts.groupby(group_col):
-        rows = rows.sort_values([val_col, id_col], ascending=[False, True]).head(k)
-        out.append(rows)
-    if not out:
-        return parts
+    if not bnd.empty:
+        bnd = (
+            bnd.sort_values([group_col, val_col, id_col],
+                            ascending=[True, False, True], kind="mergesort")
+            .groupby(group_col, sort=False)
+            .head(k)
+        )
+        fin = fin.union(rd.from_pandas(bnd))
+    if not as_pandas:
+        return fin
+    out = fin.to_pandas()
     return (
-        pd.concat(out, ignore_index=True)
-        .sort_values([group_col, val_col, id_col], ascending=[True, False, True])
+        out.sort_values([group_col, val_col, id_col],
+                        ascending=[True, False, True])
         .reset_index(drop=True)[[group_col, id_col, val_col]]
     )
 
@@ -362,16 +439,19 @@ def parse_first_number(ds, col: str, out_col: str = "housenumber_number"):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def stratified_sample(ds, group_col: str, cap: int, id_col: str = "doc_id"):
+def stratified_sample(ds, group_col: str, cap: int, id_col: str = "doc_id",
+                      as_pandas: bool = True):
     """Deterministic stratified sampling: keep (up to) ``cap`` rows per
     group — the ones with the smallest Knuth multiplicative hash of
     ``id_col``, so membership is uniform-ish within each stratum yet
     reproducible across runs/engines with no RNG state (the
     ``sample_hash`` arithmetic, rank-capped per group).
 
-    Rides the ``grouped_topk`` run-limited combiner: each batch forwards
-    ≤ cap rows per group, so the merge sees combiner output, never the
-    corpus.  Returns a pandas frame (group, id) sorted."""
+    Rides ``grouped_topk``'s fully distributed merge (run-limited
+    combiner → sort exchange → interior-run take + boundary rebase), so
+    nothing group-cardinality-sized reaches the driver.  Returns a
+    pandas frame (group, id) sorted when ``as_pandas``, else the
+    Dataset."""
     def add_h(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy().astype(np.uint64)
         h = (ids * np.uint64(2654435761)) % np.uint64(4294967296)
@@ -380,8 +460,12 @@ def stratified_sample(ds, group_col: str, cap: int, id_col: str = "doc_id"):
 
     out = grouped_topk(
         ds.map_batches(add_h, batch_format="pyarrow"),
-        group_col, "__h", cap, id_col=id_col,
+        group_col, "__h", cap, id_col=id_col, as_pandas=as_pandas,
     )
+    if not as_pandas:
+        return out.map_batches(
+            lambda t: t.drop_columns(["__h"]), batch_format="pyarrow"
+        )
     return (
         out[[group_col, id_col]]
         .sort_values([group_col, id_col])
@@ -400,6 +484,8 @@ def column_histogram(ds, col: str, bins: int, lo: float, hi: float):
 
     def partial(t: pa.Table) -> pa.Table:
         x = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        x = x[np.isfinite(x)]  # nulls/NaN/inf drop, matching the SQL
+        # oracle and np.histogram (they'd otherwise land in bucket 0)
         b = np.clip(((x - lo) // w).astype(np.int64), 0, bins - 1)
         cnt = np.bincount(b, minlength=bins)
         nz = np.flatnonzero(cnt)

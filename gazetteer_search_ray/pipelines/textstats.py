@@ -289,10 +289,14 @@ class HashingVectorizer:
             return v
         cache = self._cache
         miss = [t for t in set(toks) if t not in cache]
+        local: dict[str, int] = {}
         if miss:
-            for t, h in zip(miss, hash64(miss)):
-                cache[t] = int(h)
-        hs = np.array([cache[t] for t in toks], dtype=np.uint64)
+            local = dict(zip(miss, (int(h) for h in hash64(miss))))
+            if len(cache) + len(miss) <= 1 << 20:  # size-capped actor cache
+                cache.update(local)
+        hs = np.array(
+            [cache[t] if t in cache else local[t] for t in toks],
+            dtype=np.uint64)
         idx = (hs % np.uint64(self.dim)).astype(np.int64)
         sign = np.where((hs >> np.uint64(63)) > 0, -1.0, 1.0)
         np.add.at(v, idx, sign)

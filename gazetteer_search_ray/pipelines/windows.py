@@ -121,6 +121,18 @@ def hopping_window_agg(
     )
 
 
+def _session_rows(key: np.ndarray, ts: np.ndarray, gap_sec: int):
+    """Vectorized sessionization over (key, ts)-sorted arrays: returns
+    (key idx of session head, start, end, n) — one row per session."""
+    n = key.size
+    new = np.ones(n, dtype=bool)
+    if n > 1:
+        new[1:] = (key[1:] != key[:-1]) | ((ts[1:] - ts[:-1]) > gap_sec)
+    heads = np.flatnonzero(new)
+    run_len = np.diff(np.concatenate((heads, [n])))
+    return heads, ts[heads], ts[heads + run_len - 1], run_len
+
+
 def session_windows(
     ds,
     gap_sec: int,
@@ -128,30 +140,88 @@ def session_windows(
     ts_col: str = "ts",
 ):
     """Session windows per key: a new session starts when the gap to the
-    previous event exceeds ``gap_sec``.  ``groupby(key).map_groups`` over
-    ts-sorted groups (assumes one key's events fit a worker — salt the
-    key for pathological users)."""
+    previous event exceeds ``gap_sec``.  Returns (key, session_start,
+    session_end, n_events) with timestamps truncated to whole seconds.
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="stable")
-        # unit-safe: truncate to whole seconds whatever the datetime64 unit
-        ts = g[ts_col].to_numpy().astype("datetime64[s]").astype(np.int64)
-        new = np.ones(len(g), dtype=bool)
-        new[1:] = (ts[1:] - ts[:-1]) > gap_sec
-        sid = np.cumsum(new) - 1
-        out = pd.DataFrame(
+    Scale shape (the ``asof.py`` sort-exchange pattern — replaces the
+    per-group pandas ``map_groups`` callback, ~10 ms/group measured and
+    a one-key-fits-a-worker assumption): project to thin (key, ts_sec)
+    rows, ONE ``sort([key, ts])`` range exchange, then per sorted block
+    every key-run strictly interior to the block is COMPLETE and its
+    sessions resolve in one vectorized gap-detection pass; only the
+    first/last run of each block — O(#blocks) runs — pass through raw
+    to a tiny driver-side fix-up running the identical kernel.
+    """
+    import pyarrow as pa
+    import ray.data as rd
+
+    def project(t: pa.Table) -> pa.Table:
+        # unit-safe: truncate to whole seconds whatever the ts unit
+        ts = t[ts_col].to_numpy(zero_copy_only=False).astype(
+            "datetime64[s]").astype(np.int64)
+        return pa.table({key_col: t[key_col],
+                         "__ts": pa.array(ts, pa.int64())})
+
+    def resolve(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        key = t[key_col].to_numpy(zero_copy_only=False)
+        ts = t["__ts"].to_numpy() if n else np.empty(0, np.int64)
+        if n:
+            change = np.zeros(n, dtype=bool)
+            change[0] = True
+            change[1:] = key[1:] != key[:-1]
+            kheads = np.flatnonzero(change)
+            if kheads.size <= 2:  # ≤2 key-runs: everything may straddle
+                lo = hi = 0
+            else:
+                lo, hi = int(kheads[1]), int(kheads[-1])
+        else:
+            lo = hi = 0
+        heads, start, end, cnt = _session_rows(
+            key[lo:hi], ts[lo:hi], gap_sec)
+        bmask = np.ones(n, dtype=bool)
+        bmask[lo:hi] = False
+        bidx = np.flatnonzero(bmask)
+        take = pa.array(np.concatenate([lo + heads, bidx]))
+        return pa.table(
             {
-                key_col: g[key_col].iloc[0],
-                "session_id": sid,
-                "ts_sec": ts,
+                "__kind": pa.array(np.concatenate(
+                    [np.zeros(heads.size, np.int8),
+                     np.ones(bidx.size, np.int8)])),
+                key_col: t[key_col].take(take),
+                "session_start": pa.array(
+                    np.concatenate([start, ts[bidx]]), pa.int64()),
+                "session_end": pa.array(
+                    np.concatenate([end, ts[bidx]]), pa.int64()),
+                "n_events": pa.array(np.concatenate(
+                    [cnt, np.ones(bidx.size, np.int64)]), pa.int64()),
             }
         )
-        agg = out.groupby("session_id").agg(
-            session_start=("ts_sec", "min"),
-            session_end=("ts_sec", "max"),
-            n_events=("ts_sec", "size"),
-        ).reset_index(drop=True)
-        agg[key_col] = g[key_col].iloc[0]
-        return agg[[key_col, "session_start", "session_end", "n_events"]]
 
-    return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")
+    mixed = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .sort([key_col, "__ts"])
+        .map_batches(resolve, batch_format="pyarrow")
+        .materialize()
+    )
+    fin = mixed.map_batches(
+        lambda t: t.filter(pc.equal(t["__kind"], 0)).drop_columns(["__kind"]),
+        batch_format="pyarrow",
+    )
+    bnd = mixed.map_batches(
+        lambda t: t.filter(pc.equal(t["__kind"], 1)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if not bnd.empty:
+        bnd = bnd.sort_values([key_col, "session_start"], kind="mergesort")
+        keys = bnd[key_col].to_numpy()
+        heads, start, end, cnt = _session_rows(
+            keys, bnd["session_start"].to_numpy(np.int64), gap_sec)
+        fix = pd.DataFrame({
+            key_col: keys[heads],
+            "session_start": start,
+            "session_end": end,
+            "n_events": cnt,
+        })
+        fin = fin.union(rd.from_pandas(fix))
+    return fin

@@ -476,3 +476,43 @@ def test_sharded_scatter_gather_matches_unsharded(ray_session):
             )  # bit-identical: same global df, n_docs, avgdl
     finally:
         svc.shutdown()
+
+
+def test_topk_approx_band_matches_exact(searcher):
+    """The float32 pre-pass top-k (`_topk_bool_approx` / float32
+    `_topk_dense`) must return bit-identical (docs, scores) to the
+    sparse exact path for every qualifying plan shape, including plans
+    with heavy score ties around the kth position."""
+    from gazetteer_search_ray.pipelines.query import (
+        Bool,
+        ColumnFilter,
+        Prefix,
+        RangeFilter,
+        Term,
+    )
+
+    eng = searcher.engine
+    plans = [
+        Bool(must=(Term("def"), Term("return"))),
+        Bool(must=(Term("def"), Term("return"), Term("import"))),
+        Bool(should=(Term("def"), Term("class"), Term("import"))),
+        Bool(should=(Term("def"), Term("class"), Term("return")),
+             minimum_should_match=2),
+        Bool(must=(Term("def"),), should=(Term("class"), Prefix("re")),
+             boost=2.5),
+        Bool(must=(Term("def"), Term("class")),
+             must_not=(Term("qwyzzle"),),
+             filter=(RangeFilter("dl", 5, 500),)),
+        # constant-score should children: maximal kth-score ties
+        Bool(should=(Prefix("de"), Prefix("re"), Prefix("cl"))),
+    ]
+    for plan in plans:
+        for k in (1, 5, 20, 10_000):
+            eng.dense_enabled = True
+            d0, s0 = eng.top_k(plan, k)
+            eng.dense_enabled = False
+            dd, ss = eng.evaluate(plan)
+            d1, s1 = eng._topk(dd, ss, k)
+            eng.dense_enabled = True
+            np.testing.assert_array_equal(d0, d1)
+            np.testing.assert_array_equal(s0, s1)  # bit-identical floats
