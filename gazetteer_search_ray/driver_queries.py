@@ -76,6 +76,34 @@ def get_searcher(sf_dir: str) -> Searcher:
     return s
 
 
+SRC_TERM = "src3"
+
+
+def get_fields_searcher(sf_dir: str) -> Searcher:
+    """Searcher over the TWO-FIELD index variant: content=text plus the
+    extra field ``src`` (documents.source, carried as corpus ``repo``)
+    indexed with its own BM25 length norm — the reference multi-field
+    mapping (``es_mappings/addr_row.json:41-121``)."""
+    key = "fields:" + sf_dir
+    s = _searchers.get(key)
+    if s is not None:
+        return s
+    idx = index_dir_for(sf_dir) + "-fields"
+    if not mf.is_committed(idx):
+        ds = documents_as_corpus(sf_dir)
+        build_index(
+            ds,
+            idx,
+            BuildOptions(
+                analyzer_config=AnalyzerConfig.simple(),
+                extra_fields=(("src", "repo"),),
+            ),
+        )
+    s = Searcher(idx)
+    _searchers[key] = s
+    return s
+
+
 def _round(a: np.ndarray, nd: int = 6) -> np.ndarray:
     return np.round(a, nd)
 
@@ -217,6 +245,18 @@ def q_bm25_dismax(sf_dir):
     return _topk(sf_dir, DisMax(children=tuple(Term(t) for t in DM2)))
 
 
+def q_bm25_fields(sf_dir):
+    """Multi-field BM25: content terms (text norms) + a field-scoped
+    term over the ``src`` field (its OWN dl/avgdl norms) summed in one
+    should — per-field statistics exactly as the reference's separate
+    ES text fields."""
+    s = get_fields_searcher(sf_dir)
+    docs, scores = s.engine.top_k(
+        Bool(should=(Term(HOT), Term(RARE),
+                     Term(SRC_TERM, field="src"))), 20)
+    return _topk_frame(docs, scores, 6)
+
+
 def q_bm25_filter_lang(sf_dir):
     return _topk(
         sf_dir,
@@ -311,6 +351,29 @@ SEARCH_SQL = {
     ),
     "bm25_rare": _bm25_topk_sql([RARE]),
     "bm25_hot": _bm25_topk_sql([HOT]),
+    "bm25_fields": (
+        f"WITH {BM25_CTE}, {_bm25_score_sql([HOT, RARE])}, "
+        f"""stok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(source), '[^a-z0-9]+')) AS term
+  FROM documents
+), stok2 AS (SELECT doc_id, term FROM stok WHERE term <> ''),
+stf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM stok2 GROUP BY doc_id, term),
+sdl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+        FROM documents d LEFT JOIN stok2 t ON t.doc_id = d.doc_id GROUP BY d.doc_id),
+sstats AS (SELECT avg(dl) AS avgdl FROM sdl),
+sdf AS (SELECT count(*)::DOUBLE AS df FROM stf WHERE term = '{SRC_TERM}'),
+fsc AS (
+  SELECT stf.doc_id,
+         ln(1 + (st.n - sdf.df + 0.5)/(sdf.df + 0.5))
+           * stf.tf * {K1 + 1.0} / (stf.tf + {K1} * (1 - {B} + {B} * sdl.dl / ss.avgdl)) AS score
+  FROM stf JOIN sdl ON sdl.doc_id = stf.doc_id
+  CROSS JOIN sstats ss CROSS JOIN sdf CROSS JOIN stats st
+  WHERE stf.term = '{SRC_TERM}'),
+allsc AS (SELECT doc_id, score FROM sc UNION ALL SELECT doc_id, score FROM fsc),
+tot AS (SELECT doc_id, sum(score) AS score FROM allsc GROUP BY doc_id)
+SELECT doc_id, round(score, 6) AS score FROM tot
+ORDER BY score DESC, doc_id LIMIT 20"""
+    ),
     "bm25_or": _bm25_topk_sql(OR3),
     "bm25_and": _bm25_topk_sql(AND2, having=f"HAVING count(*) = {len(AND2)}"),
     "bm25_msm2": _bm25_topk_sql(MSM3, having="HAVING count(*) >= 2"),
@@ -1253,6 +1316,7 @@ def all_queries() -> dict:
         "bm25_and": q_bm25_and,
         "bm25_msm2": q_bm25_msm2,
         "bm25_dismax": q_bm25_dismax,
+        "bm25_fields": q_bm25_fields,
         "bm25_filter_lang": q_bm25_filter_lang,
         "bm25_prior": q_bm25_prior,
         "prefix_docs": q_prefix_docs,

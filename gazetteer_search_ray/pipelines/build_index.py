@@ -64,6 +64,10 @@ class BuildOptions:
     # are only ~2 per sorted block, but their rows are the HOT terms,
     # whose encode must not serialize on the driver
     boundary_driver_limit: int = 20_000
+    # extra text fields ((field_name, column_name), ...): indexed as
+    # field-scoped terms with per-field BM25 length norms (the
+    # reference's multi-field mapping, es_mappings/addr_row.json:41-121)
+    extra_fields: tuple = ()
 
 
 def _analyzer_dict(c: AnalyzerConfig) -> dict:
@@ -99,6 +103,7 @@ def build_index(ds, index_dir: str, opts: BuildOptions | None = None, overwrite:
         num_doc_shards=opts.num_doc_shards,
         score_builder=opts.score_builder,
         compute_sha256=opts.compute_sha256,
+        extra_fields=opts.extra_fields,
     )
     if opts.tokenize_concurrency:
         partials = ds.map_batches(
@@ -170,11 +175,19 @@ def build_index(ds, index_dir: str, opts: BuildOptions | None = None, overwrite:
 
     # global stats from the (tiny, one-row-per-doc) doc store
     meta = pads.dataset(docmeta_dir, format="parquet")
-    stats = meta.to_table(columns=["doc_id", "dl"])
+    field_cols = [f"dl__{f}" for f, _ in opts.extra_fields]
+    stats = meta.to_table(columns=["doc_id", "dl"] + field_cols)
     n_docs = stats.num_rows
     import pyarrow.compute as pc
 
     total_tokens = int(pc.sum(stats["dl"]).as_py() or 0)
+    field_stats = {}
+    for (fname, _col), dcol in zip(opts.extra_fields, field_cols):
+        ftot = int(pc.sum(stats[dcol]).as_py() or 0)
+        field_stats[fname] = {
+            "total_tokens": ftot,
+            "avgdl": (ftot / n_docs) if n_docs else 0.0,
+        }
     n_unique = pc.count_distinct(stats["doc_id"]).as_py()
     if n_unique != n_docs:
         raise ValueError(
@@ -186,6 +199,7 @@ def build_index(ds, index_dir: str, opts: BuildOptions | None = None, overwrite:
         "n_docs": n_docs,
         "total_tokens": total_tokens,
         "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+        "fields": field_stats,
         "block_size": opts.block_size,
         "num_doc_shards": opts.num_doc_shards,
         "analyzer": _analyzer_dict(opts.analyzer_config),

@@ -44,8 +44,17 @@ EMPTY_F = np.empty(0, dtype=np.float64)
 
 @dataclass(frozen=True)
 class Term:
+    """Single-term BM25 leaf.  ``field`` scopes the term to an extra
+    indexed field (reference multi-field mapping: name/street/locality
+    score as separate ES text fields with separate length norms,
+    ``es_mappings/addr_row.json:41-121``); None = the main content
+    field.  Field-scoped terms live in the same postings segments under
+    the ``<field>\\x1e<term>`` key and score with the FIELD's dl/avgdl.
+    """
+
     term: str
     boost: float = 1.0
+    field: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -220,6 +229,17 @@ class QueryEngine:
         # A/B switch for the float32 pre-pass (bench evidence + safety
         # valve); results are bit-identical either way
         self.approx32: bool = True
+        # top-k request cache (the ES shard-request-cache analog,
+        # IndicesRequestCache): plan nodes are frozen dataclasses →
+        # hashable; the index is immutable under a reader, so caching
+        # (plan, k) → (docs, scores) is exact.  Real query streams are
+        # Zipfian — repeated plans should cost a dict hit, not a fresh
+        # accumulator pass.  LRU-bounded; set topk_cache_size=0 to
+        # disable (bench cache-off mode).
+        from collections import OrderedDict
+
+        self._topk_cache: OrderedDict[tuple, tuple] = OrderedDict()
+        self.topk_cache_size: int = 4096
         # dense-vector cache for VERY hot leaves (df·8 ≥ n): per leaf a
         # full-width float32 score vector + uint8 presence vector, so
         # the per-query accumulate is a pure SIMD `acc += vec` / `cnt +=
@@ -245,12 +265,23 @@ class QueryEngine:
     def _df(self, term: str, tp: TermPostings) -> int:
         return self.df_override.get(term, tp.df)
 
+    @staticmethod
+    def _term_key(node: Term) -> str:
+        """Posting-dictionary key of a Term leaf: plain term for the
+        main content field, ``<field>\\x1e<term>`` for extra fields."""
+        from ..stages.tokenize import FIELD_SEP
+
+        return node.term if node.field is None else \
+            node.field + FIELD_SEP + node.term
+
     # -- term scoring ----------------------------------------------------
 
-    def _score_tf(self, docs: np.ndarray, tfs: np.ndarray, df: int) -> np.ndarray:
-        dl = self.reader.dl_of(docs)
+    def _score_tf(self, docs: np.ndarray, tfs: np.ndarray, df: int,
+                  field: str | None = None) -> np.ndarray:
+        dl = self.reader.dl_of(docs, field)
         return bm25.term_scores(
-            tfs, dl, df, self.reader.n_docs, self.reader.avgdl, self.k1, self.b
+            tfs, dl, df, self.reader.n_docs, self.reader.avgdl_of(field),
+            self.k1, self.b
         )
 
     def seed_term(self, term: str, docs: np.ndarray, tfs: np.ndarray,
@@ -269,11 +300,12 @@ class QueryEngine:
                 docs, self._score_tf(docs, tfs, df_eff))
 
     def eval_term(self, node: Term):
-        tp = self.reader.posting(node.term)
-        df = self._df(node.term, tp) if tp is not None else 0
+        tkey = self._term_key(node)
+        tp = self.reader.posting(tkey)
+        df = self._df(tkey, tp) if tp is not None else 0
         # cache key includes the effective df so coordinator-injected
         # global stats (sharded mode) never serve stale scores
-        key = (node.term, node.boost, df)
+        key = (tkey, node.boost, df)
         hit = self._term_eval_cache.get(key)
         if hit is not None:
             return hit
@@ -281,7 +313,8 @@ class QueryEngine:
             res = (EMPTY_I, EMPTY_F)
         else:
             docs, tfs = self.reader.decode_all(tp)
-            res = (docs, node.boost * self._score_tf(docs, tfs, df))
+            res = (docs,
+                   node.boost * self._score_tf(docs, tfs, df, node.field))
         if len(self._term_eval_cache) < 1024:
             self._term_eval_cache[key] = res
         return res
@@ -356,7 +389,7 @@ class QueryEngine:
         """Doc-store row positions of a child's match docs; cached for
         Term/Prefix leaves (the recurring cascade children)."""
         if isinstance(child, Term):
-            return self._term_positions(child.term, docs)
+            return self._term_positions(self._term_key(child), docs)
         if isinstance(child, Prefix):
             key = "\x00pfx\x00" + child.prefix
             pos = self._pos_cache.get(key)
@@ -373,7 +406,7 @@ class QueryEngine:
         mass = 0
         for child in (*node.must, *node.should):
             if isinstance(child, Term):
-                tp = self.reader.posting(child.term)
+                tp = self.reader.posting(self._term_key(child))
                 if tp is not None:
                     mass += tp.df
         return mass
@@ -656,6 +689,26 @@ class QueryEngine:
         return self._topk(full_docs, full_scores, k, secondary=dist)
 
     def top_k(self, node, k: int = 20) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k of any plan, through the LRU request cache (callers
+        must not mutate the returned arrays — slice/copy instead)."""
+        ckey = None
+        if self.topk_cache_size:
+            try:
+                ckey = (node, k)
+                hit = self._topk_cache.get(ckey)
+            except TypeError:  # unhashable custom node
+                ckey, hit = None, None
+            if hit is not None:
+                self._topk_cache.move_to_end(ckey)
+                return hit
+        res = self._top_k_uncached(node, k)
+        if ckey is not None:
+            self._topk_cache[ckey] = res
+            if len(self._topk_cache) > self.topk_cache_size:
+                self._topk_cache.popitem(last=False)
+        return res
+
+    def _top_k_uncached(self, node, k: int) -> tuple[np.ndarray, np.ndarray]:
         if (
             isinstance(node, Bool)
             and node.should
@@ -689,20 +742,23 @@ class QueryEngine:
 
     # -- block-max pruned disjunction (MaxScore/WAND family) -------------
 
-    def _term_ub(self, tp: TermPostings, df: int | None = None) -> float:
+    def _term_ub(self, tp: TermPostings, df: int | None = None,
+                 field: str | None = None) -> float:
         df = tp.df if df is None else df
         ub = 0.0
         for p in tp.parts:
             if len(p["block_max_tf"]):
                 b_ub = bm25.block_upper_bound(
                     p["block_max_tf"], p["block_min_dl"], df,
-                    self.reader.n_docs, self.reader.avgdl, self.k1, self.b,
+                    self.reader.n_docs, self.reader.avgdl_of(field),
+                    self.k1, self.b,
                 )
                 ub = max(ub, float(np.max(b_ub)))
         return ub
 
     def _gather_term(self, tp: TermPostings, cand: np.ndarray, boost: float,
-                     df: int | None = None) -> np.ndarray:
+                     df: int | None = None,
+                     field: str | None = None) -> np.ndarray:
         """Scores of ``cand`` docs for this term, decoding only the
         blocks that contain a candidate (block-selective skip read)."""
         out = np.zeros(cand.size, dtype=np.float64)
@@ -722,7 +778,7 @@ class QueryEngine:
             hit = (d[idx_c] == cand) & valid
             if hit.any():
                 sc = self._score_tf(d[idx_c[hit]], t[idx_c[hit]],
-                                    tp.df if df is None else df)
+                                    tp.df if df is None else df, field)
                 out[hit] += boost * sc
         return out
 
@@ -751,9 +807,10 @@ class QueryEngine:
         machines (round-3 measurement); the float64 originals stay
         referenced for the exact candidate rescore."""
         if isinstance(child, Term):
-            tp = self.reader.posting(child.term)
-            df = self._df(child.term, tp) if tp is not None else 0
-            key = ("T", child.term, child.boost, df)
+            tkey = self._term_key(child)
+            tp = self.reader.posting(tkey)
+            df = self._df(tkey, tp) if tp is not None else 0
+            key = ("T", tkey, child.boost, df)
         elif isinstance(child, Prefix):
             key = ("P", child.prefix, child.boost, child.max_expansions)
         else:
@@ -779,7 +836,7 @@ class QueryEngine:
         if pos.size * 8 < n:
             return None
         if isinstance(child, Term):
-            key = ("T", child.term, child.boost)
+            key = ("T", self._term_key(child), child.boost)
         elif isinstance(child, Prefix):
             key = ("P", child.prefix, child.boost, child.max_expansions)
         else:
@@ -975,7 +1032,7 @@ class QueryEngine:
             for node, tp, _ub in infos:
                 d, s = self.eval_term(node)
                 if d.size:
-                    acc64[self._term_positions(node.term, d)] += s
+                    acc64[self._term_positions(self._term_key(node), d)] += s
             if filter_docs is not None:
                 keep = np.zeros(n, dtype=bool)
                 keep[np.searchsorted(self.reader.doc_ids, filter_docs)] = True
@@ -1020,13 +1077,14 @@ class QueryEngine:
         """
         infos = []
         for node in terms:
-            tp = self.reader.posting(node.term)
+            tkey = self._term_key(node)
+            tp = self.reader.posting(tkey)
             if tp is not None:
-                df = self._df(node.term, tp)
-                ub_key = (node.term, df)
+                df = self._df(tkey, tp)
+                ub_key = (tkey, df)
                 ub = self._ub_cache.get(ub_key)
                 if ub is None:
-                    ub = self._term_ub(tp, df)
+                    ub = self._term_ub(tp, df, node.field)
                     if len(self._ub_cache) < 8192:
                         self._ub_cache[ub_key] = ub
                 infos.append((node, tp, node.boost * ub))
@@ -1072,7 +1130,8 @@ class QueryEngine:
             cand_scores = scores[cand_mask].copy()
             for node, tp, _ub in infos[i:]:
                 cand_scores += self._gather_term(
-                    tp, cand, node.boost, self._df(node.term, tp)
+                    tp, cand, node.boost,
+                    self._df(self._term_key(node), tp), node.field
                 )
             docs, scores = cand, cand_scores
         return self._topk(docs, scores, k)

@@ -308,12 +308,13 @@ class QueryService:
     """
 
     def __init__(self, index_dir: str, pool_size: int = 4, use_prior: bool = False,
-                 num_cpus: float = 1.0):
+                 num_cpus: float = 1.0, topk_cache_size: int | None = None):
         import ray
 
         @ray.remote(num_cpus=num_cpus)
         class _Worker:
-            def __init__(self, index_dir: str, use_prior: bool):
+            def __init__(self, index_dir: str, use_prior: bool,
+                         topk_cache_size: int | None = None):
                 # each pool actor is budgeted num_cpus=1; Arrow's
                 # default per-process pools are os.cpu_count() threads,
                 # so a 16-actor pool spins 16×32 threads and replay
@@ -324,6 +325,8 @@ class QueryService:
                 _pa.set_cpu_count(1)
                 _pa.set_io_thread_count(2)
                 self.searcher = Searcher(index_dir)
+                if topk_cache_size is not None:
+                    self.searcher.engine.topk_cache_size = topk_cache_size
                 self.use_prior = use_prior
 
             def warm(self, terms: list[str]) -> int:
@@ -375,18 +378,32 @@ class QueryService:
 
         self._ray = ray
         self.workers = [
-            _Worker.remote(index_dir, use_prior) for _ in range(pool_size)
+            _Worker.remote(index_dir, use_prior, topk_cache_size)
+            for _ in range(pool_size)
         ]
         self.pool_size = pool_size
         self._rr = 0
 
-    def warm(self, terms: list[str]) -> None:
+    def warm(self, terms: list[str],
+             prime_queries: list[dict] | None = None) -> None:
         """Shared warm: worker 0 decodes the terms once; the decoded
         arrays ship through the object store ONCE and every actor
         seeds zero-copy views (N× less decode + one physical copy
-        per node instead of one per actor)."""
+        per node instead of one per actor).
+
+        ``prime_queries`` additionally runs a representative query
+        batch on EVERY actor, faulting in the per-actor accumulator
+        buffers and dense leaf vectors — on ballooned VMs first-touch
+        page faults run ~100× slower than warm memory (BASELINE.md), so
+        an unprimed pool's first requests pay a multi-second fault
+        storm that has nothing to do with steady-state throughput."""
         ref = self.workers[0].export_postings.remote(terms)
         self._ray.get([w.adopt_postings.remote(ref) for w in self.workers])
+        if prime_queries:
+            self._ray.get([
+                w.search_batch.remote(prime_queries, True)
+                for w in self.workers
+            ])
 
     def submit(self, rows: list[dict], summarize: bool = False):
         w = self.workers[self._rr % self.pool_size]

@@ -94,6 +94,15 @@ def flat_from_binary_col(col, dtype) -> tuple[np.ndarray, np.ndarray]:
 
 DOCMETA_CARRY = ("repo", "path", "commit", "lang", "n_chars", "lat", "lon")
 
+# Field-scoped term separator: extra fields index their tokens as
+# "<field>\x1e<term>" in the SAME postings segments (the classic
+# field-prefix trick), with per-field doc lengths in docmeta
+# (``dl__<field>``) so each field gets its own BM25 length norm — the
+# reference maps name/street/locality/full_text as separate ES text
+# fields with separate norms (``es_mappings/addr_row.json:41-121``,
+# ``MainAddressQueryBuilder.java:396-468``).
+FIELD_SEP = "\x1e"
+
 
 def _is_arrow_fast_path(c: AnalyzerConfig) -> bool:
     return (
@@ -124,7 +133,12 @@ class TokenizeStage:
         content_col: str = "content",
         score_builder: Callable[[pa.Table], np.ndarray] | None = None,
         compute_sha256: bool = True,
+        extra_fields: tuple = (),
     ):
+        # extra_fields: ((field_name, column_name), ...) — each extra
+        # text field indexes as FIELD_SEP-scoped terms with its own
+        # per-doc length column (dl__<field>) for per-field BM25 norms
+        self.extra_fields = tuple(extra_fields)
         self.config = analyzer_config or AnalyzerConfig.simple()
         self.analyzer = Analyzer(self.config)
         # tf counting must see the raw (non-deduped) token stream
@@ -238,47 +252,30 @@ class TokenizeStage:
 
     # -- main ------------------------------------------------------------
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        if n == 0:
-            return PARTIAL_SCHEMA.empty_table()
-        doc_ids = batch["doc_id"].to_numpy().astype(np.int64)
-        content = batch[self.content_col]
-
+    def _tokenize(self, content):
         if self._fast:
-            flat, parent = self._tokenize_arrow(content)
-        elif self._vectorizable:
-            flat, parent = self._tokenize_vectorized(content)
-        else:
-            flat, parent = self._tokenize_python(content)
-        dl = np.bincount(parent, minlength=n).astype(np.int64)
+            return self._tokenize_arrow(content)
+        if self._vectorizable:
+            return self._tokenize_vectorized(content)
+        return self._tokenize_python(content)
 
-        # prior score + row drop (reference M12: score==0 ⇒ drop row)
-        if self.score_builder is not None:
-            base_score = np.asarray(self.score_builder(batch), dtype=np.float64)
-        else:
-            base_score = np.ones(n, dtype=np.float64)
-        keep = base_score != 0.0
-
-        if self.docmeta_dir is not None:
-            self._write_docmeta(batch, doc_ids, dl, base_score, keep)
-
-        if not keep.all():
-            keep_rows = np.flatnonzero(keep)
-            row_mask = keep[parent]
-            flat = flat.filter(pa.array(row_mask))
-            parent = parent[row_mask]
-
-        # tf per (term, doc) — C++ hash aggregation, no Python loop
+    def _field_entries(self, flat, parent, dl, doc_ids, prefix: str):
+        """(term, shard, doc, tf, dl) rows of one field's token stream —
+        term prefixed with ``<field>\\x1e`` for extra fields, dl = the
+        FIELD's per-doc length (its own BM25 norm)."""
         tf_tbl = (
             pa.table({"term": flat, "row": pa.array(parent, pa.int64())})
             .group_by(["term", "row"], use_threads=False)
             .aggregate([("term", "count")])
         )
         rows = tf_tbl["row"].to_numpy()
-        entries = pa.table(
+        term = tf_tbl["term"]
+        if prefix:
+            term = pc.binary_join_element_wise(
+                pa.scalar(prefix), pc.cast(term, pa.string()), "")
+        return pa.table(
             {
-                "term": tf_tbl["term"],
+                "term": term,
                 "shard": pa.array(
                     (doc_ids[rows] % self.num_doc_shards).astype(np.int32)
                     if self.num_doc_shards > 1
@@ -288,6 +285,53 @@ class TokenizeStage:
                 "tf": pc.cast(tf_tbl["term_count"], pa.int32()),
                 "dl": pa.array(dl[rows].astype(np.int32)),
             }
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return PARTIAL_SCHEMA.empty_table()
+        doc_ids = batch["doc_id"].to_numpy().astype(np.int64)
+        content = batch[self.content_col]
+
+        flat, parent = self._tokenize(content)
+        dl = np.bincount(parent, minlength=n).astype(np.int64)
+        fields = []  # (prefix, flat, parent, field dl)
+        field_dls: dict[str, np.ndarray] = {}
+        for fname, colname in self.extra_fields:
+            ff, fp = self._tokenize(batch[colname])
+            fdl = np.bincount(fp, minlength=n).astype(np.int64)
+            fields.append((fname + FIELD_SEP, ff, fp, fdl))
+            field_dls[fname] = fdl
+
+        # prior score + row drop (reference M12: score==0 ⇒ drop row)
+        if self.score_builder is not None:
+            base_score = np.asarray(self.score_builder(batch), dtype=np.float64)
+        else:
+            base_score = np.ones(n, dtype=np.float64)
+        keep = base_score != 0.0
+
+        if self.docmeta_dir is not None:
+            self._write_docmeta(batch, doc_ids, dl, base_score, keep,
+                                field_dls)
+
+        if not keep.all():
+            row_mask = keep[parent]
+            flat = flat.filter(pa.array(row_mask))
+            parent = parent[row_mask]
+            fields = [
+                (pfx, ff.filter(pa.array(keep[fp])), fp[keep[fp]], fdl)
+                for pfx, ff, fp, fdl in fields
+            ]
+
+        # tf per (term, doc) — C++ hash aggregation, no Python loop
+        entry_parts = [self._field_entries(flat, parent, dl, doc_ids, "")]
+        for pfx, ff, fp, fdl in fields:
+            entry_parts.append(
+                self._field_entries(ff, fp, fdl, doc_ids, pfx))
+        entries = (
+            entry_parts[0] if len(entry_parts) == 1
+            else pa.concat_tables(entry_parts, promote_options="default")
         ).sort_by([("term", "ascending"), ("shard", "ascending")])
 
         # pack runs of equal (term, shard) into binary payload rows
@@ -330,12 +374,15 @@ class TokenizeStage:
 
     # -- doc store -------------------------------------------------------
 
-    def _write_docmeta(self, batch, doc_ids, dl, base_score, keep):
+    def _write_docmeta(self, batch, doc_ids, dl, base_score, keep,
+                       field_dls: dict | None = None):
         cols: dict = {
             "doc_id": pa.array(doc_ids[keep], pa.int64()),
             "dl": pa.array(dl[keep], pa.int64()),
             "base_score": pa.array(base_score[keep], pa.float64()),
         }
+        for fname, fdl in (field_dls or {}).items():
+            cols[f"dl__{fname}"] = pa.array(fdl[keep], pa.int64())
         for c in DOCMETA_CARRY:
             if c in batch.column_names:
                 cols[c] = batch[c].filter(pa.array(keep))

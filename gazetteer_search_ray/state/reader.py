@@ -91,14 +91,24 @@ class IndexReader:
         ]
         meta_ds = children[0] if len(children) == 1 else pads.dataset(children)
         avail = set(meta_ds.schema.names)
-        cols = ["doc_id", "dl"] + [c for c in DOCMETA_EXTRA if c in avail]
+        field_cols = sorted(c for c in avail if c.startswith("dl__"))
+        cols = (["doc_id", "dl"] + field_cols
+                + [c for c in DOCMETA_EXTRA if c in avail])
         t = meta_ds.to_table(columns=cols)
         order = pc.sort_indices(t["doc_id"])
         t = t.take(order)
         self.doc_ids = t["doc_id"].to_numpy()  # sorted ascending
         self.dl = t["dl"].to_numpy().astype(np.int64)
+        # per-field BM25 length norms (multi-field mapping): dl__<field>
+        # docmeta columns + manifest per-field avgdl
+        self.field_dl: dict[str, np.ndarray] = {
+            c[4:]: t[c].to_numpy().astype(np.int64) for c in field_cols
+        }
+        self.field_avgdl: dict[str, float] = {
+            f: float(v["avgdl"]) for f, v in (man.get("fields") or {}).items()
+        }
         self.columns: dict[str, np.ndarray] = {}
-        for c in cols[2:]:
+        for c in cols[2 + len(field_cols):]:
             col = t[c]
             self.columns[c] = (
                 col.to_numpy(zero_copy_only=False)
@@ -140,9 +150,12 @@ class IndexReader:
 
     # ---- doc store gathers --------------------------------------------
 
-    def dl_of(self, docs: np.ndarray) -> np.ndarray:
+    def dl_of(self, docs: np.ndarray, field: str | None = None) -> np.ndarray:
         idx = np.searchsorted(self.doc_ids, docs)
-        return self.dl[idx]
+        return (self.dl if field is None else self.field_dl[field])[idx]
+
+    def avgdl_of(self, field: str | None = None) -> float:
+        return self.avgdl if field is None else self.field_avgdl[field]
 
     def column_of(self, docs: np.ndarray, col: str) -> np.ndarray:
         idx = np.searchsorted(self.doc_ids, docs)
