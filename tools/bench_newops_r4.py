@@ -62,6 +62,8 @@ def main() -> None:
         "rows_in": n_rows, "groups": n_groups, "rows_out": int(cnt),
         "sec": round(dt, 1),
     }
+    print(json.dumps({"grouped_topk_1m_groups":
+                      out["grouped_topk_1m_groups"]}), flush=True)
 
     # -- session_windows, 10^5 keys: new kernel vs legacy map_groups ------
     n_ev, n_keys = 2_000_000, 100_000
@@ -81,6 +83,10 @@ def main() -> None:
     t0 = time.monotonic()
     n_sessions = session_windows(ev, 600).count()
     dt_new = time.monotonic() - t0
+    print(json.dumps({"session_sort_exchange":
+                      {"events": n_ev, "keys": n_keys,
+                       "sessions": int(n_sessions),
+                       "sec": round(dt_new, 1)}}), flush=True)
 
     # legacy shape (the round-3 implementation): per-group pandas callback
     def legacy_sessions(g: pd.DataFrame) -> pd.DataFrame:
@@ -100,20 +106,42 @@ def main() -> None:
         agg["user_id"] = g["user_id"].iloc[0]
         return agg[["user_id", "session_start", "session_end", "n_events"]]
 
-    ev2 = rd.range(n_ev).map_batches(gen_ev, batch_format="pyarrow")
+    # the legacy per-group pandas callback costs ~10 ms/group (repo
+    # measurement) — 10^5 keys would take ~17 min of pure callback time,
+    # so the legacy leg runs at 1/10 scale and the comparison normalizes
+    # per event (both legs are event-linear at fixed keys/event ratio)
+    n_ev_leg, n_keys_leg = n_ev // 10, n_keys // 10
+
+    def gen_ev_leg(b):
+        ids = np.asarray(b["id"], dtype=np.int64)
+        ts = base + ((ids * 48271) % 400_000).astype("timedelta64[s]")
+        return pa.table({
+            "user_id": ids % n_keys_leg,
+            "ts": pa.array(ts.astype("datetime64[us]")),
+        })
+
+    ev2 = rd.range(n_ev_leg).map_batches(gen_ev_leg, batch_format="pyarrow")
     t0 = time.monotonic()
-    n_sessions_legacy = (
+    n_leg = (
         ev2.groupby("user_id").map_groups(legacy_sessions,
                                           batch_format="pandas").count()
     )
     dt_legacy = time.monotonic() - t0
-    assert n_sessions == n_sessions_legacy, (n_sessions, n_sessions_legacy)
+    ev3 = rd.range(n_ev_leg).map_batches(gen_ev_leg, batch_format="pyarrow")
+    t0 = time.monotonic()
+    n_new_leg = session_windows(ev3, 600).count()
+    dt_new_leg = time.monotonic() - t0
+    assert n_leg == n_new_leg, (n_leg, n_new_leg)
     out["session_windows_100k_keys"] = {
         "events": n_ev, "keys": n_keys, "sessions": int(n_sessions),
         "sec_sort_exchange": round(dt_new, 1),
-        "sec_legacy_map_groups": round(dt_legacy, 1),
-        "speedup": round(dt_legacy / max(dt_new, 1e-9), 2),
+        "legacy_leg_events": n_ev_leg, "legacy_leg_keys": n_keys_leg,
+        "sec_legacy_map_groups_leg": round(dt_legacy, 1),
+        "sec_sort_exchange_leg": round(dt_new_leg, 1),
+        "speedup_same_input": round(dt_legacy / max(dt_new_leg, 1e-9), 2),
     }
+    print(json.dumps({"session_windows_100k_keys":
+                      out["session_windows_100k_keys"]}), flush=True)
 
     # -- distributed union-find, 10^7 pairs --------------------------------
     from gazetteer_search_ray.pipelines.dedup import (
