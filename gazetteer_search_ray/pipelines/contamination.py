@@ -143,7 +143,7 @@ class _ContaminationChecker:
             t, self.text_col, self.id_col, self.n)
         if not sh:
             return pa.table({
-                "doc_id": pa.array([], pa.int64()),
+                self.id_col: pa.array([], pa.int64()),
                 "n_overlap": pa.array([], pa.int64()),
             })
         hs = self._hash(sh)
@@ -156,7 +156,7 @@ class _ContaminationChecker:
         hit_docs = doc_ids[hit]
         uniq, counts = np.unique(hit_docs, return_counts=True)
         return pa.table({
-            "doc_id": pa.array(uniq),
+            self.id_col: pa.array(uniq),
             "n_overlap": pa.array(counts.astype(np.int64)),
         })
 
@@ -268,7 +268,7 @@ def decontaminate(train_ds, eval_ds, n: int = 3, text_col: str = "text",
         return _anti_join_ids(train_ds, rep, id_col)
 
     bad_parts = [
-        b["doc_id"].to_numpy()
+        b[id_col].to_numpy()
         for b in rep.iter_batches(batch_format="pyarrow", batch_size=None)
         if b.num_rows
     ]
@@ -277,7 +277,7 @@ def decontaminate(train_ds, eval_ds, n: int = 3, text_col: str = "text",
     if strategy == "auto" and bad.size > contaminated_broadcast_limit:
         return _anti_join_ids(
             train_ds,
-            rd.from_arrow(pa.table({"doc_id": pa.array(bad)})),
+            rd.from_arrow(pa.table({id_col: pa.array(bad)})),
             id_col,
         )
     bad_ref = ray.put(bad)
@@ -295,13 +295,14 @@ def decontaminate(train_ds, eval_ds, n: int = 3, text_col: str = "text",
 
 def _anti_join_ids(ds, bad_ds, id_col: str,
                    num_partitions: int | None = None):
-    """ds minus rows whose ``id_col`` appears in ``bad_ds.doc_id`` —
+    """ds minus rows whose ``id_col`` appears in ``bad_ds``'s column of
+    the same name (both report paths emit their ids under ``id_col``) —
     left-outer hash-shuffle join + null filter (Ray Data has no native
     anti join)."""
     nparts = _join_partitions(num_partitions)
     marked = bad_ds.map_batches(
         lambda t: pa.table({
-            "__bad_id": t["doc_id"],
+            "__bad_id": t[id_col],
             "__bad": pa.array(np.ones(t.num_rows, np.int8)),
         }),
         batch_format="pyarrow",

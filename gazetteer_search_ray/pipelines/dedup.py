@@ -812,6 +812,7 @@ def union_find_labels_distributed(pairs_ds, max_rounds: int = 64,
         return int(row["s"])
 
     prev = _sum_lab(labels)
+    converged = False
     for _ in range(max_rounds):
         # propagate: node ← min(label, min over nbrs' labels)
         nbr_lab = (
@@ -845,8 +846,16 @@ def union_find_labels_distributed(pairs_ds, max_rounds: int = 64,
         )
         cur = _sum_lab(labels)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # silent non-convergence would return WRONG cluster ids (labels
+        # mid-propagation) — unlike the driver union-find this must match
+        raise RuntimeError(
+            f"label propagation did not converge in {max_rounds} rounds; "
+            "raise max_rounds (component diameter exceeds 2^rounds)"
+        )
     return labels.map_batches(
         lambda t: pa.table({"doc_id": t["node"], "cluster_id": t["lab"]}),
         batch_format="pyarrow",

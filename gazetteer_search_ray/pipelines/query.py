@@ -225,7 +225,14 @@ class QueryEngine:
         # engine's per-query memory traffic is THE scaling bottleneck on
         # bandwidth-bound machines (round-3 finding); exactness is
         # restored by a float64 rescore of the ±bound candidate band.
-        self._leaf32_cache: dict[tuple, tuple] = {}
+        from collections import OrderedDict
+
+        self._leaf32_cache: OrderedDict[tuple, tuple] = OrderedDict()
+        self._leaf32_bytes: int = 0
+        # byte (not count) budget: one df≈n leaf at the 32M-doc shard
+        # bound pins ~0.5 GB of positions+f32+f64 arrays, so a count cap
+        # alone can exceed the per-actor accumulator budget 1000×
+        self.leaf32_budget: int = 1 << 30
         # A/B switch for the float32 pre-pass (bench evidence + safety
         # valve); results are bit-identical either way
         self.approx32: bool = True
@@ -236,8 +243,6 @@ class QueryEngine:
         # Zipfian — repeated plans should cost a dict hit, not a fresh
         # accumulator pass.  LRU-bounded; set topk_cache_size=0 to
         # disable (bench cache-off mode).
-        from collections import OrderedDict
-
         self._topk_cache: OrderedDict[tuple, tuple] = OrderedDict()
         self.topk_cache_size: int = 4096
         # dense-vector cache for VERY hot leaves (df·8 ≥ n): per leaf a
@@ -247,7 +252,7 @@ class QueryEngine:
         # measured on 300k-df terms).  Size-budgeted: at 32M-doc shards
         # one vector is 128 MB, so only the hottest few terms fit — the
         # rest stay on the scatter path, same results.
-        self._densevec_cache: dict[tuple, tuple] = {}
+        self._densevec_cache: OrderedDict[tuple, tuple] = OrderedDict()
         self._densevec_bytes: int = 0
         self.densevec_budget: int = 1 << 30
         # reusable dense accumulator (one per engine ≙ per actor); the
@@ -259,11 +264,25 @@ class QueryEngine:
         # term → GLOBAL doc frequency, injected by a sharded-query
         # coordinator (ES dfs_query_then_fetch analog): a shard actor's
         # local postings see only local df, but BM25 IDF must use the
-        # cross-shard df for rank-identity with an unsharded index
-        self.df_override: dict[str, int] = {}
+        # cross-shard df for rank-identity with an unsharded index.
+        # Assign (don't mutate in place) — the setter fingerprints the
+        # map so the request cache never crosses df epochs.
+        self._df_override: dict[str, int] = {}
+        self._df_fp: frozenset | None = None
+
+    @property
+    def df_override(self) -> dict[str, int]:
+        return self._df_override
+
+    @df_override.setter
+    def df_override(self, value: dict[str, int]) -> None:
+        self._df_override = dict(value)
+        # folded into the _topk_cache key: a cached top-k computed under
+        # one global-df map must not serve a query under another
+        self._df_fp = frozenset(self._df_override.items()) or None
 
     def _df(self, term: str, tp: TermPostings) -> int:
-        return self.df_override.get(term, tp.df)
+        return self._df_override.get(term, tp.df)
 
     @staticmethod
     def _term_key(node: Term) -> str:
@@ -694,7 +713,7 @@ class QueryEngine:
         ckey = None
         if self.topk_cache_size:
             try:
-                ckey = (node, k)
+                ckey = (node, k, self._df_fp)
                 hit = self._topk_cache.get(ckey)
             except TypeError:  # unhashable custom node
                 ckey, hit = None, None
@@ -720,7 +739,12 @@ class QueryEngine:
         ):
             if not node.filter:
                 return self.top_k_disjunction([c for c in node.should], k)
-            if all(isinstance(f, (ColumnFilter, RangeFilter)) for f in node.filter):
+            if node.minimum_should_match == 1 and all(
+                isinstance(f, (ColumnFilter, RangeFilter)) for f in node.filter
+            ):
+                # msm==0 stays on the exact path: filter-only docs score 0
+                # but ARE hits there (should adds score, doesn't constrain)
+                # — the pruned disjunction would drop them
                 # filtered disjunction: the MaxScore loop runs over the
                 # filter-restricted posting arrays (the round-1 fallback
                 # was exhaustive evaluate for any Bool with filters)
@@ -817,13 +841,21 @@ class QueryEngine:
             return None
         hit = self._leaf32_cache.get(key)
         if hit is not None:
+            self._leaf32_cache.move_to_end(key)
             return hit
         d, s = self.evaluate(child)
         pos = self._positions_for(child, d)
         res = (pos, s.astype(np.float32),
                float(s.max()) if s.size else 0.0, d, s)
-        if len(self._leaf32_cache) < 2048:
+        nbytes = pos.nbytes + res[1].nbytes + d.nbytes + s.nbytes
+        if nbytes <= self.leaf32_budget:
+            while self._leaf32_bytes + nbytes > self.leaf32_budget \
+                    and self._leaf32_cache:
+                _, old = self._leaf32_cache.popitem(last=False)
+                self._leaf32_bytes -= (old[0].nbytes + old[1].nbytes
+                                       + old[3].nbytes + old[4].nbytes)
             self._leaf32_cache[key] = res
+            self._leaf32_bytes += nbytes
         return res
 
     def _leaf_dense(self, child, lf) -> tuple | None:
@@ -836,17 +868,28 @@ class QueryEngine:
         if pos.size * 8 < n:
             return None
         if isinstance(child, Term):
-            key = ("T", self._term_key(child), child.boost)
+            tkey = self._term_key(child)
+            tp = self.reader.posting(tkey)
+            df = self._df(tkey, tp) if tp is not None else 0
+            # effective df in the key (mirrors _leaf32): a dense vector
+            # baked under one coordinator-injected global df must not
+            # serve a query running under another
+            key = ("T", tkey, child.boost, df)
         elif isinstance(child, Prefix):
             key = ("P", child.prefix, child.boost, child.max_expansions)
         else:
             return None
         hit = self._densevec_cache.get(key)
         if hit is not None:
+            self._densevec_cache.move_to_end(key)
             return hit
         need = n * 5  # 4B score + 1B presence
-        if self._densevec_bytes + need > self.densevec_budget:
+        if need > self.densevec_budget:
             return None
+        while self._densevec_bytes + need > self.densevec_budget \
+                and self._densevec_cache:
+            self._densevec_cache.popitem(last=False)  # LRU evict
+            self._densevec_bytes -= need  # entries are uniform n*5
         vec = np.zeros(n, dtype=np.float32)
         vec[pos] = lf[1]
         pres = np.zeros(n, dtype=np.uint8)
@@ -945,6 +988,12 @@ class QueryEngine:
             return None
         if self._bool_mass(node) * 4 < n:
             return None  # rare terms: sparse merges are cheaper
+        if node.filter and not node.must and node.minimum_should_match <= 0:
+            # exact paths return filter-matching docs with score 0 when
+            # no should clause hits (should adds score, doesn't
+            # constrain); the candidate band is built from nonzero
+            # accumulator slots and would drop them — fall back
+            return None
         leaves_m = [(c, self._leaf32(c)) for c in node.must]
         leaves_s = [(c, self._leaf32(c)) for c in node.should]
 

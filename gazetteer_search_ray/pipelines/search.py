@@ -251,11 +251,24 @@ class QueryScorer:
     """
 
     def __init__(self, index_dir: str, k: int = 20, use_prior: bool = False,
-                 coalesce: bool = True):
+                 coalesce: bool = True,
+                 prime_queries: list[dict] | None = None):
         self.searcher = Searcher(index_dir)
         self.k = k
         self.use_prior = use_prior
         self.coalesce = coalesce
+        # priming (the QueryService.warm analog, in-actor): run a
+        # representative query set once in __init__ so segment pages
+        # fault in and the leaf caches fill during actor startup, not
+        # inside the first served batch.  Caches are exact — primed and
+        # unprimed results are identical (round-4 measurement: unprimed
+        # first-touch page faults dominated first-batch latency ~100×).
+        for pq in prime_queries or ():
+            self.searcher.search(
+                pq["q"], k=int(pq.get("k", k)),
+                prefix=bool(pq.get("prefix", False)),
+                coalesce=coalesce, use_prior=use_prior,
+            )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, qs = batch["qid"].to_pylist(), batch["q"].to_pylist()

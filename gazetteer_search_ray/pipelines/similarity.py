@@ -432,12 +432,16 @@ def ivf_train(ds, n_clusters: int = 16, iters: int = 5,
                 }
             )
 
-        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
         sums = np.zeros_like(cent)
         counts = np.zeros(cent.shape[0])
-        for _, row in parts.iterrows():
-            sums[row["cluster"]] += np.asarray(row["sum"])
-            counts[row["cluster"]] += row["count"]
+        for t in ds.map_batches(partial, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow", batch_size=None):
+            if t.num_rows == 0:
+                continue
+            cl = t["cluster"].to_numpy()
+            np.add.at(sums, cl,
+                      np.asarray(t["sum"].to_pylist(), dtype=np.float64))
+            np.add.at(counts, cl, t["count"].to_numpy())
         nonzero = counts > 0
         cent[nonzero] = _normalize(sums[nonzero] / counts[nonzero, None])
     return cent

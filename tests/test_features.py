@@ -505,6 +505,16 @@ def test_topk_approx_band_matches_exact(searcher):
              filter=(RangeFilter("dl", 5, 500),)),
         # constant-score should children: maximal kth-score ties
         Bool(should=(Prefix("de"), Prefix("re"), Prefix("cl"))),
+        # filter + should, no must, msm=0: docs matching the filter but
+        # NO should clause are hits with score 0 (should adds score,
+        # doesn't constrain) — the approx band must not drop them
+        Bool(should=(Term("def"), Term("class")),
+             filter=(RangeFilter("dl", 5, 500),)),
+        Bool(should=(Term("qwyzzle"), Prefix("zz")),
+             filter=(RangeFilter("dl", 5, 500),)),
+        Bool(should=(Term("def"), Term("return"), Term("import")),
+             filter=(RangeFilter("dl", 5, 500),),
+             minimum_should_match=1),
     ]
     for plan in plans:
         for k in (1, 5, 20, 10_000):

@@ -40,9 +40,12 @@ class FakeReader:
     def posting(self, term):
         return self._postings.get(term)
 
-    def dl_of(self, docs):
+    def dl_of(self, docs, field=None):
         idx = np.searchsorted(self.doc_ids, docs)
         return self.dl[idx]
+
+    def avgdl_of(self, field=None):
+        return self.avgdl
 
     def decode_all(self, tp):
         p = tp.parts[0]
