@@ -665,13 +665,17 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard over MinHash-LSH candidates.
 
     Candidates from :func:`minhash_lsh_pairs` (low threshold), verified
-    EXACTLY by re-shingling only the candidate docs inside a distributed
-    ``map_batches`` over the corpus (broadcast candidate id set); each
-    candidate doc's shingle set travels as sorted unique 64-bit hashes.
-    The full text never reaches the driver — driver memory is bounded by
-    the candidate docs' shingle-hash sets (a blake2b-64 collision would
-    be needed to perturb a Jaccard value).  Columns
-    (doc_a, doc_b, jaccard ≥ threshold)."""
+    EXACTLY and fully distributed: candidate docs re-shingle inside a
+    ``map_batches`` over the corpus (broadcast candidate id set), each
+    shingle set travelling as sorted unique 64-bit hashes; two inner
+    hash-shuffle joins attach (sh_a, sh_b) to every candidate pair and
+    the per-pair intersection runs inside ``map_batches`` workers.  The
+    driver holds only the candidate PAIRS (ids) and the final
+    thresholded rows — never a shingle set, so a heavily-duplicated
+    corpus can't serialize here (round-4 finding: the verify loop was
+    the last driver-side per-pair loop in the dedup family).  A
+    blake2b-64 collision would be needed to perturb a Jaccard value.
+    Columns (doc_a, doc_b, jaccard ≥ threshold), sorted (doc_a, doc_b)."""
     cands = minhash_lsh_pairs(
         ds, num_perm=num_perm, bands=bands, shingle_n=n,
         threshold=min(0.3, threshold), text_col=text_col, id_col=id_col,
@@ -706,27 +710,56 @@ def ngram_jaccard_pairs(
             }
         )
 
-    sh_tbl = ds.map_batches(shingler, batch_format="pyarrow").to_pandas()
-    sets = {
-        int(d): np.frombuffer(b, dtype="<u8")
-        for d, b in zip(sh_tbl[id_col], sh_tbl["shingles"])
-    }
-    out_a, out_b, out_j = [], [], []
-    for da, db in pairs:
-        sa, sb = sets[int(da)], sets[int(db)]
-        if sa.size == 0 or sb.size == 0:
-            continue
-        inter = np.intersect1d(sa, sb, assume_unique=True).size
-        j = inter / (sa.size + sb.size - inter)
-        if j >= threshold:
-            out_a.append(int(da))
-            out_b.append(int(db))
-            out_j.append(j)
-    return pd.DataFrame(
-        {"doc_a": np.array(out_a, dtype=np.int64),
-         "doc_b": np.array(out_b, dtype=np.int64),
-         "jaccard": np.array(out_j, dtype=np.float64)}
-    )
+    import ray.data as rd
+
+    # candidate-bounded (one row per candidate doc) — safe to pin for
+    # the two join probes below
+    sh_ds = ds.map_batches(shingler, batch_format="pyarrow").materialize()
+    nparts = _join_partitions(None)
+    sh_a = sh_ds.map_batches(
+        lambda t: pa.table({"__ka": t[id_col], "sh_a": t["shingles"]}),
+        batch_format="pyarrow",
+    ).repartition(nparts)
+    sh_b = sh_ds.map_batches(
+        lambda t: pa.table({"__kb": t[id_col], "sh_b": t["shingles"]}),
+        batch_format="pyarrow",
+    ).repartition(nparts)
+    pairs_ds = rd.from_arrow(pa.table({
+        "doc_a": pa.array(pairs[:, 0], pa.int64()),
+        "doc_b": pa.array(pairs[:, 1], pa.int64()),
+    }))
+    joined = pairs_ds.join(sh_a, join_type="inner",
+                           num_partitions=nparts,
+                           on=("doc_a",), right_on=("__ka",))
+    joined = joined.join(sh_b, join_type="inner",
+                         num_partitions=nparts,
+                         on=("doc_b",), right_on=("__kb",))
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy()
+        b = t["doc_b"].to_numpy()
+        sh_as = t["sh_a"].to_pylist()
+        sh_bs = t["sh_b"].to_pylist()
+        out_a, out_b, out_j = [], [], []
+        for i in range(t.num_rows):
+            sa = np.frombuffer(sh_as[i], dtype="<u8")
+            sb = np.frombuffer(sh_bs[i], dtype="<u8")
+            if sa.size == 0 or sb.size == 0:
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            j = inter / (sa.size + sb.size - inter)
+            if j >= threshold:
+                out_a.append(int(a[i]))
+                out_b.append(int(b[i]))
+                out_j.append(j)
+        return pa.table({
+            "doc_a": pa.array(out_a, pa.int64()),
+            "doc_b": pa.array(out_b, pa.int64()),
+            "jaccard": pa.array(out_j, pa.float64()),
+        })
+
+    res = joined.map_batches(verify, batch_format="pyarrow").to_pandas()
+    return res.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def union_find_labels(pairs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -758,6 +791,68 @@ def union_find_labels(pairs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return nodes, nodes[lab]
 
 
+def _star_forest_scan(sorted_edges) -> bool:
+    """True iff a (u, v)-sorted doubled edge Dataset is a disjoint
+    union of stars — the star-contraction termination certificate.
+
+    A doubled star forest has exactly two run shapes under the sort
+    key ``u``: a ROOT run contains its self-loop plus members, so
+    ``min(v) == u``; a MEMBER run points at its single root, so
+    ``min(v) == max(v) < u``.  Every interior run of a sorted block is
+    complete and validated locally (vectorized reduceat); the first
+    and last run of each block may straddle a boundary, so they emit
+    (u, min_v, max_v) partials — O(2 · #blocks) rows — that the driver
+    groups by u and validates with the same formula (min/max combine
+    idempotently, so duplicate rows across blocks are harmless).
+
+    Soundness: if every run is valid, map each member u to its single
+    smaller neighbor f(u); f(u)'s run contains u > f(u) so it must be
+    ROOT-shaped — the graph is exactly {(m, f(m))} ∪ self-loops, i.e.
+    disjoint stars.  No joins, no extra shuffles."""
+    def part(t: pa.Table) -> pa.Table:
+        empty = pa.table({"ok": pa.array([], pa.bool_()),
+                          "bu": pa.array([], pa.int64()),
+                          "bmin": pa.array([], pa.int64()),
+                          "bmax": pa.array([], pa.int64())})
+        if t.num_rows == 0 or {"u", "v"} - set(t.column_names):
+            return empty
+        u = t["u"].to_numpy()
+        v = t["v"].to_numpy()
+        n = u.size
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        np.not_equal(u[1:], u[:-1], out=change[1:])
+        heads = np.flatnonzero(change)
+        tails = np.concatenate([heads[1:], [n]]) - 1
+        ukey = u[heads]
+        minv = np.minimum.reduceat(v, heads)
+        maxv = np.maximum.reduceat(v, heads)
+        ok = True
+        if heads.size > 2:
+            iu = ukey[1:-1]
+            imin = minv[1:-1]
+            imax = maxv[1:-1]
+            ok = bool(np.all((imin == iu) | ((imin == imax) & (imax < iu))))
+        bsel = [0] if heads.size == 1 else [0, heads.size - 1]
+        return pa.table({
+            "ok": pa.array([ok] * len(bsel), pa.bool_()),
+            "bu": pa.array(ukey[bsel], pa.int64()),
+            "bmin": pa.array(minv[bsel], pa.int64()),
+            "bmax": pa.array(maxv[bsel], pa.int64()),
+        })
+
+    parts = sorted_edges.map_batches(part, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return True
+    if not bool(parts["ok"].all()):
+        return False
+    g = parts.groupby("bu").agg(bmin=("bmin", "min"), bmax=("bmax", "max"))
+    bu = g.index.to_numpy()
+    bmin = g["bmin"].to_numpy()
+    bmax = g["bmax"].to_numpy()
+    return bool(np.all((bmin == bu) | ((bmin == bmax) & (bmax < bu))))
+
+
 def union_find_labels_distributed(pairs_ds, max_rounds: int = 64,
                                   num_partitions: int | None = None):
     """Connected components over a PAIRS DATASET — the scale fallback
@@ -765,100 +860,104 @@ def union_find_labels_distributed(pairs_ds, max_rounds: int = 64,
     :func:`union_find_labels` (a 50%-duplicated 10¹²-doc corpus can
     produce billions of pairs).
 
-    Iterative min-label propagation expressed in Ray Data relational
-    ops: each round every node pulls the minimum label across its edges
-    (edges ⋈ labels → groupby(node).min), then one pointer-jumping
-    round (labels ⋈ labels on label) halves chain depth — O(log
-    diameter) rounds, each a hash-shuffle bounded by |edges|+|nodes|,
-    nothing collected.  Labels only ever decrease, so Σlabel is a
-    monotone convergence witness (one tiny aggregate per round).
+    Contraction rounds from the large-star/small-star family (Kiveris
+    et al., *Connected Components in MapReduce and Beyond*, 2014),
+    adapted to Ray Data: each round DOUBLES the oriented edge set,
+    range-sorts it by (u, v) — ONE shuffle, co-locating every node's
+    full neighborhood — and contracts each sorted block with the
+    vectorized driver union-find, emitting the block's spanning star
+    edges ``(node, local-min-label)`` (roots self-loop so they persist
+    as sort keys).  Connectivity is preserved exactly — the local star
+    spans the local component and every block node is emitted — and
+    labels only decrease, so the edge set collapses toward the star
+    forest ``(member, component-min)``.  One sort exchange per round
+    replaces the three hash-join shuffles per round of the previous
+    label-propagation design (round-4 measurement: 10M pairs, 2,671 s;
+    this design: see BENCH_newops1m_r5).
+
+    Termination is SOUND, not heuristic: each round certifies the
+    sorted doubled set with :func:`_star_forest_scan` (a free pass over
+    the already-sorted blocks).  Once the set IS a star forest, its
+    components equal the original components (connectivity invariant),
+    every root is its component's minimum (members point to a strictly
+    smaller root), and the final groupby(node).min(label) output is
+    exact.  ``max_rounds`` exhaustion raises instead of returning
+    mid-contraction labels.
 
     Input: Dataset with int64 columns (a, b).  Output: Dataset
     (doc_id, cluster_id), cluster_id = min node id of the component —
     identical to :func:`union_find_labels` (differentially tested).
     """
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Min
 
-    num_partitions = _join_partitions(num_partitions)
-
-    def both_dirs(t: pa.Table) -> pa.Table:
+    def orient(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy().astype(np.int64)
         b = t["b"].to_numpy().astype(np.int64)
+        # (max, min) orientation; self-pairs survive as (x, x) so
+        # isolated self-loop nodes still reach the output
+        e = np.unique(np.stack([np.maximum(a, b), np.minimum(a, b)],
+                               axis=1), axis=0)
+        return pa.table({"u": pa.array(e[:, 0]), "v": pa.array(e[:, 1])})
+
+    def double(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy()
+        v = t["v"].to_numpy()
         return pa.table({
-            "node": pa.array(np.concatenate([a, b])),
-            "nbr": pa.array(np.concatenate([b, a])),
+            "u": pa.array(np.concatenate([u, v])),
+            "v": pa.array(np.concatenate([v, u])),
         })
 
-    # pin the doubled edge list once — every round joins against it
-    edges = pairs_ds.map_batches(both_dirs,
-                                 batch_format="pyarrow").materialize()
-    # initial label of each node = min neighbor ∧ itself
-    labels = (
-        edges.map_batches(
-            lambda t: pa.table({
-                "node": t["node"],
-                "lab": pa.array(np.minimum(t["node"].to_numpy(),
-                                           t["nbr"].to_numpy())),
-            }),
+    def contract(t: pa.Table) -> pa.Table:
+        cols = {"u", "v"} & set(t.column_names)
+        if t.num_rows == 0 or cols != {"u", "v"}:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        arr = np.stack([t["u"].to_numpy().astype(np.int64),
+                        t["v"].to_numpy().astype(np.int64)], axis=1)
+        nodes, labs = union_find_labels(arr)
+        # every block node emits its star edge; roots self-loop so they
+        # survive as sort keys for the next round's co-location
+        return pa.table({"u": pa.array(nodes), "v": pa.array(labs)})
+
+    cur = pairs_ds.map_batches(orient, batch_format="pyarrow").materialize()
+    if cur.count() == 0:
+        return cur.map_batches(
+            lambda t: pa.table({"doc_id": pa.array([], pa.int64()),
+                                "cluster_id": pa.array([], pa.int64())}),
             batch_format="pyarrow",
         )
-        .groupby("node")
-        .aggregate(Min("lab", alias_name="lab"))
-        .materialize()
-    )
-
-    def _sum_lab(ls) -> int:
-        row = ls.aggregate(Sum("lab", alias_name="s"))
-        return int(row["s"])
-
-    prev = _sum_lab(labels)
-    converged = False
     for _ in range(max_rounds):
-        # propagate: node ← min(label, min over nbrs' labels)
-        nbr_lab = (
-            edges.join(labels, join_type="inner",
-                       num_partitions=num_partitions,
-                       on=("nbr",), right_on=("node",))
-            .map_batches(
-                lambda t: pa.table({"node": t["node"], "lab": t["lab"]}),
+        s = cur.map_batches(double, batch_format="pyarrow")
+        if num_partitions is not None:
+            s = s.repartition(num_partitions)
+        s = s.sort(["u", "v"]).materialize()
+        done = _star_forest_scan(s)
+        cur = s.map_batches(contract, batch_format="pyarrow").materialize()
+        if done:
+            # at a star forest every contract emission is (node →
+            # component-min); the groupby dedups multi-block copies and
+            # the root self-rows label the roots themselves
+            lab_rows = cur.map_batches(
+                lambda t: pa.table({
+                    "node": pa.array(np.concatenate([t["u"].to_numpy(),
+                                                     t["v"].to_numpy()])),
+                    "lab": pa.array(np.concatenate([t["v"].to_numpy(),
+                                                    t["v"].to_numpy()])),
+                }),
                 batch_format="pyarrow",
             )
-        )
-        labels = (
-            nbr_lab.union(labels)
-            .groupby("node")
-            .aggregate(Min("lab", alias_name="lab"))
-        )
-        # pointer jumping: lab ← lab[lab]
-        hop = labels.map_batches(
-            lambda t: pa.table({"node2": t["node"], "lab2": t["lab"]}),
-            batch_format="pyarrow",
-        )
-        labels = (
-            labels.join(hop, join_type="inner",
-                        num_partitions=num_partitions,
-                        on=("lab",), right_on=("node2",))
-            .map_batches(
-                lambda t: pa.table({"node": t["node"], "lab": t["lab2"]}),
-                batch_format="pyarrow",
+            return (
+                lab_rows.groupby("node")
+                .aggregate(Min("lab", alias_name="lab"))
+                .map_batches(
+                    lambda t: pa.table({"doc_id": t["node"],
+                                        "cluster_id": t["lab"]}),
+                    batch_format="pyarrow",
+                )
             )
-            .materialize()
-        )
-        cur = _sum_lab(labels)
-        if cur == prev:
-            converged = True
-            break
-        prev = cur
-    if not converged:
-        # silent non-convergence would return WRONG cluster ids (labels
-        # mid-propagation) — unlike the driver union-find this must match
-        raise RuntimeError(
-            f"label propagation did not converge in {max_rounds} rounds; "
-            "raise max_rounds (component diameter exceeds 2^rounds)"
-        )
-    return labels.map_batches(
-        lambda t: pa.table({"doc_id": t["node"], "cluster_id": t["lab"]}),
-        batch_format="pyarrow",
+    raise RuntimeError(
+        f"star contraction did not converge in {max_rounds} rounds; "
+        "raise max_rounds"
     )
 
 

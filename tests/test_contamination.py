@@ -76,6 +76,20 @@ def test_decontaminate_drops_exactly_the_flagged(ray_session, corpus):
     assert set(kept["doc_id"]) == set(tr["doc_id"]) - bad
 
 
+def test_decontaminate_custom_id_col(ray_session, corpus):
+    """Non-default id_col must flow through both report paths and the
+    anti-join drop (the bad-ids side used to hardcode "doc_id")."""
+    tr, ev = corpus
+    tr2 = tr.rename(columns={"doc_id": "xid"})
+    ev2 = ev.rename(columns={"doc_id": "xid"})
+    bad = set(_brute_report(tr, ev)["doc_id"])
+    want = set(tr["doc_id"]) - bad
+    for strategy in ("broadcast", "join"):
+        kept = decontaminate(_ds(tr2), _ds(ev2), n=3, id_col="xid",
+                             strategy=strategy).to_pandas()
+        assert set(kept["xid"]) == want, strategy
+
+
 def test_clean_corpus_passes_through(ray_session):
     tr = pd.DataFrame({"doc_id": [1, 2], "text": ["aa bb cc dd", "ee ff gg"]})
     ev = pd.DataFrame({"doc_id": [9], "text": ["xx yy zz ww"]})
