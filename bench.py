@@ -238,22 +238,30 @@ def run_scaling():
     b_hi = hi["index_build"]["docs_per_sec"]
     q_lo = max(r["query"]["qps"] for r in runs_lo)
     q_hi = max(r["query"]["qps"] for r in runs_hi)
-    print(
-        json.dumps(
-            {
-                "metric": f"scaling_{lo_cpus}_to_{hi_cpus}_cpus",
-                "factor": hi_cpus / lo_cpus,
-                f"build_docs_per_sec_{lo_cpus}": b_lo,
-                f"build_docs_per_sec_{hi_cpus}": b_hi,
-                "build_scaling_efficiency": round((b_hi / b_lo) / (hi_cpus / lo_cpus), 3),
-                f"query_qps_{lo_cpus}": q_lo,
-                f"query_qps_{hi_cpus}": q_hi,
-                "query_scaling_efficiency": round((q_hi / q_lo) / (hi_cpus / lo_cpus), 3),
-                f"sec_{lo_cpus}": lo["value"],
-                f"sec_{hi_cpus}": hi["value"],
-            }
-        )
+    result = json.dumps(
+        {
+            "metric": f"scaling_{lo_cpus}_to_{hi_cpus}_cpus",
+            "factor": hi_cpus / lo_cpus,
+            f"build_docs_per_sec_{lo_cpus}": b_lo,
+            f"build_docs_per_sec_{hi_cpus}": b_hi,
+            "build_scaling_efficiency": round((b_hi / b_lo) / (hi_cpus / lo_cpus), 3),
+            f"query_qps_{lo_cpus}": q_lo,
+            f"query_qps_{hi_cpus}": q_hi,
+            "query_scaling_efficiency": round((q_hi / q_lo) / (hi_cpus / lo_cpus), 3),
+            f"sec_{lo_cpus}": lo["value"],
+            f"sec_{hi_cpus}": hi["value"],
+        }
     )
+    print(result)
+    # atomic probe record (temp+rename): a killed run must leave either
+    # the complete JSON or nothing — never a 0-byte artifact (round-4's
+    # truncated runD)
+    out_path = os.environ.get("GSR_SCALE_OUT")
+    if out_path:
+        tmp = out_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(result + "\n")
+        os.replace(tmp, out_path)
 
 
 if __name__ == "__main__":

@@ -36,7 +36,26 @@ import pyarrow.compute as pc
 
 from ..functions.codec import BLOCK_SIZE, encode_posting, encode_posting_groups
 from ..state.manifest import atomic_write_table
-from .tokenize import flat_from_binary_col
+from .tokenize import flat_from_binary_col, varbyte_flat_from_binary_col
+
+SHARD_SEP = "\x1f"
+
+
+def _terms_shards_from_skeys(skey_arr) -> tuple[pa.Array, pa.Array]:
+    """Recover (term, shard) from ``skey`` rows — the partial schema
+    carries only the fused sort key through the exchange (the duplicate
+    term/shard columns were ~7% of the shuffle bytes)."""
+    if isinstance(skey_arr, pa.ChunkedArray):
+        skey_arr = skey_arr.combine_chunks()
+    skey_arr = pc.cast(skey_arr, pa.string())
+    if len(skey_arr) == 0 or SHARD_SEP not in skey_arr[0].as_py():
+        return skey_arr, pa.array(
+            np.zeros(len(skey_arr), dtype=np.int32), pa.int32()
+        )
+    parts = pc.split_pattern(skey_arr, SHARD_SEP)
+    terms = pc.list_element(parts, 0)
+    shards = pc.cast(pc.list_element(parts, 1), pa.int32())
+    return terms, shards
 
 POSTINGS_SCHEMA = pa.schema(
     [
@@ -100,22 +119,19 @@ class SortedBlockEncoder:
         inner = t.slice(lo_row, hi_row - lo_row)
         heads = run_heads[1:-1] - lo_row
         docs, row_lens = flat_from_binary_col(inner["docs"], np.dtype("<i8"))
-        tfs, _ = flat_from_binary_col(inner["tfs"], np.dtype("<i4"))
-        dls, _ = flat_from_binary_col(inner["dls"], np.dtype("<i4"))
         docs = docs.astype(np.int64)
-        tfs = tfs.astype(np.int64)
-        dls = dls.astype(np.int64)
+        tfs, _ = varbyte_flat_from_binary_col(inner["tfs"])
+        dls, _ = varbyte_flat_from_binary_col(inner["dls"])
         row_off = np.concatenate(([0], np.cumsum(row_lens)))
         ends = run_ends[1:-1] - lo_row
         group_offsets = np.concatenate((row_off[heads], [row_off[ends[-1]]]))
         enc = encode_posting_groups(docs, tfs, dls, group_offsets, self.block_size)
-        out = _encoded_table(
-            inner["term"].take(pa.array(heads)),
-            inner["shard"].take(pa.array(heads)),
-            enc,
+        terms_h, shards_h = _terms_shards_from_skeys(
+            inner["skey"].take(pa.array(heads))
         )
+        out = _encoded_table(terms_h, shards_h, enc)
         digest = hashlib.blake2b(
-            (inner["term"][0].as_py() + "\x00" + inner["term"][-1].as_py()).encode()
+            (inner["skey"][0].as_py() + "\x00" + inner["skey"][-1].as_py()).encode()
             + np.asarray(enc["df"], dtype=np.int64).tobytes(),
             digest_size=8,
         ).hexdigest()
@@ -141,17 +157,14 @@ def encode_partials_table(t: pa.Table, block_size: int = BLOCK_SIZE) -> pa.Table
     codes = pc.dictionary_encode(t["skey"]).combine_chunks().indices.to_numpy()
     heads = np.concatenate(([0], np.flatnonzero(np.diff(codes) != 0) + 1))
     docs, row_lens = flat_from_binary_col(t["docs"], np.dtype("<i8"))
-    tfs, _ = flat_from_binary_col(t["tfs"], np.dtype("<i4"))
-    dls, _ = flat_from_binary_col(t["dls"], np.dtype("<i4"))
+    docs = docs.astype(np.int64)
+    tfs, _ = varbyte_flat_from_binary_col(t["tfs"])
+    dls, _ = varbyte_flat_from_binary_col(t["dls"])
     row_off = np.concatenate(([0], np.cumsum(row_lens)))
     group_offsets = np.append(row_off[heads], row_off[-1])
-    enc = encode_posting_groups(
-        docs.astype(np.int64), tfs.astype(np.int64), dls.astype(np.int64),
-        group_offsets, block_size,
-    )
-    return _encoded_table(
-        t["term"].take(pa.array(heads)), t["shard"].take(pa.array(heads)), enc
-    )
+    enc = encode_posting_groups(docs, tfs, dls, group_offsets, block_size)
+    terms_h, shards_h = _terms_shards_from_skeys(t["skey"].take(pa.array(heads)))
+    return _encoded_table(terms_h, shards_h, enc)
 
 
 def make_postings_merger(block_size: int = BLOCK_SIZE):
@@ -163,19 +176,16 @@ def make_postings_merger(block_size: int = BLOCK_SIZE):
 
     def merge(group: pa.Table) -> pa.Table:
         docs, _ = flat_from_binary_col(group["docs"], np.dtype("<i8"))
-        tfs, _ = flat_from_binary_col(group["tfs"], np.dtype("<i4"))
-        dls, _ = flat_from_binary_col(group["dls"], np.dtype("<i4"))
-        enc = encode_posting(
-            docs.astype(np.int64), tfs.astype(np.int64), dls.astype(np.int64),
-            block_size,
-        )
+        docs = docs.astype(np.int64)
+        tfs, _ = varbyte_flat_from_binary_col(group["tfs"])
+        dls, _ = varbyte_flat_from_binary_col(group["dls"])
+        enc = encode_posting(docs, tfs, dls, block_size)
         enc_cols = {
             k: [enc[k]] if not isinstance(enc[k], np.ndarray) else [enc[k].tolist()]
             for k in ("df", "docs", "tfs", "block_last_doc", "block_max_tf",
                       "block_min_dl", "block_docs_off", "block_tfs_off")
         }
-        return _encoded_table(
-            group["term"].slice(0, 1), group["shard"].slice(0, 1), enc_cols
-        )
+        terms_h, shards_h = _terms_shards_from_skeys(group["skey"].slice(0, 1))
+        return _encoded_table(terms_h, shards_h, enc_cols)
 
     return merge

@@ -41,11 +41,19 @@ import pyarrow.compute as pc
 from ..functions.analyzer import Analyzer, AnalyzerConfig
 from ..state.manifest import atomic_write_table
 
-# Packed partial postings. docs/tfs/dls are BINARY (raw little-endian
-# int64/int32/int32 vectors), NOT list columns: Ray's sort shuffle moves
-# binary columns like strings (cheap buffer slicing) while list columns
-# cost 10-40× in the sort reduce (measured) — this is the difference
-# between the merge shuffle being free and being the bottleneck.
+# Packed partial postings. docs/tfs/dls are BINARY payloads (docs raw
+# little-endian int64, tfs/dls varbyte), NOT list columns: Ray's sort
+# shuffle moves binary columns like strings (cheap buffer slicing)
+# while list columns cost 10-40× in the sort reduce (measured) — this
+# is the difference between the merge shuffle being free and being the
+# bottleneck.  Varbyte tfs/dls + dropping the duplicate term/shard
+# columns (consumers derive them from ``skey``) cut the measured
+# exchange volume 19.3 → ~12.9 bytes/posting (1.5×).  The ceiling is
+# the docs column: doc_ids are deterministic 63-bit HASHES (resume-
+# stable without a global zip-with-index pass), so within-row doc gaps
+# are ~uniform 2^63/df and delta-varbyte would EXPAND them (measured
+# 9.0 B/doc vs 8 raw) — dense ids would compress ~4×, at the cost of a
+# global sort before tokenize.
 # ``skey`` fuses (term, shard) into ONE sort key ("term" when
 # num_doc_shards == 1, else "term\\x1f<shard:04d>"): Ray's multi-key
 # sort costs ~6× a single-key sort when payload columns ride along
@@ -54,8 +62,6 @@ from ..state.manifest import atomic_write_table
 PARTIAL_SCHEMA = pa.schema(
     [
         ("skey", pa.string()),
-        ("term", pa.string()),
-        ("shard", pa.int32()),
         ("docs", pa.binary()),
         ("tfs", pa.binary()),
         ("dls", pa.binary()),
@@ -72,6 +78,64 @@ def binary_rows_from_flat(flat: np.ndarray, row_offsets: np.ndarray) -> pa.Array
         len(row_offsets) - 1,
         [None, pa.py_buffer(byte_off.tobytes()), pa.py_buffer(flat.tobytes())],
     )
+
+
+def varbyte_rows(flat: np.ndarray, row_offsets: np.ndarray,
+                 delta: bool = False) -> pa.Array:
+    """Varbyte-encode a flat non-negative int array into per-row binary
+    payloads (row i = values[row_offsets[i]:row_offsets[i+1]]), one
+    vectorized pass over ALL rows.  ``delta=True`` stores per-row deltas
+    with an absolute first value — rows must then be strictly increasing
+    (posting doc ids are)."""
+    from ..functions.codec import _varbyte_encode_starts
+
+    off = np.asarray(row_offsets, dtype=np.int64)
+    vals = np.asarray(flat, dtype=np.int64)
+    if delta and vals.size:
+        heads = off[:-1][off[:-1] < vals.size]
+        d = vals.copy()
+        d[1:] -= vals[:-1]
+        d[heads] = vals[heads]
+        vals = d
+    buf, starts = _varbyte_encode_starts(vals)
+    starts_end = np.append(starts, len(buf)).astype(np.int64)
+    if len(buf) >= 2**31:
+        raise ValueError("partial payload exceeds int32 binary offsets")
+    byte_off = starts_end[off].astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(),
+        len(off) - 1,
+        [None, pa.py_buffer(byte_off.tobytes()), pa.py_buffer(buf.tobytes())],
+    )
+
+
+def varbyte_flat_from_binary_col(col, delta: bool = False
+                                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`varbyte_rows` over a whole binary column:
+    (concatenated int64 values, per-row value counts).  Row payloads are
+    contiguous in the Arrow data buffer, so the decode is ONE vectorized
+    varbyte pass + a cumsum-indexed count per row."""
+    from ..functions.codec import varbyte_decode
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    off = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    seg = data[off[0] : off[-1]]
+    vals = varbyte_decode(seg).astype(np.int64)
+    # value count per row = count of terminal bytes (MSB clear) in span
+    ends = np.concatenate(([0], np.cumsum((seg & 0x80) == 0)))
+    rel = off - off[0]
+    counts = np.diff(ends[rel])
+    if delta and vals.size:
+        nz = counts > 0
+        heads = np.concatenate(([0], np.cumsum(counts)))[:-1][nz]
+        c = np.cumsum(vals)
+        base = c[heads] - vals[heads]
+        vals = c - np.repeat(base, counts[nz])
+    return vals, counts
 
 
 def flat_from_binary_col(col, dtype) -> tuple[np.ndarray, np.ndarray]:
@@ -329,10 +393,13 @@ class TokenizeStage:
         for pfx, ff, fp, fdl in fields:
             entry_parts.append(
                 self._field_entries(ff, fp, fdl, doc_ids, pfx))
+        # doc ascending within each (term, shard) run so the payload
+        # delta-varbyte encodes (interior deltas strictly positive)
         entries = (
             entry_parts[0] if len(entry_parts) == 1
             else pa.concat_tables(entry_parts, promote_options="default")
-        ).sort_by([("term", "ascending"), ("shard", "ascending")])
+        ).sort_by([("term", "ascending"), ("shard", "ascending"),
+                   ("doc", "ascending")])
 
         # pack runs of equal (term, shard) into binary payload rows
         codes = pc.dictionary_encode(entries["term"]).combine_chunks().indices.to_numpy()
@@ -358,16 +425,15 @@ class TokenizeStage:
         return pa.table(
             {
                 "skey": skey,
-                "term": terms_out,
-                "shard": shards_out,
                 "docs": binary_rows_from_flat(
-                    entries["doc"].combine_chunks().to_numpy().astype("<i8"), offsets
+                    entries["doc"].combine_chunks().to_numpy().astype("<i8"),
+                    offsets,
                 ),
-                "tfs": binary_rows_from_flat(
-                    entries["tf"].combine_chunks().to_numpy().astype("<i4"), offsets
+                "tfs": varbyte_rows(
+                    entries["tf"].combine_chunks().to_numpy(), offsets
                 ),
-                "dls": binary_rows_from_flat(
-                    entries["dl"].combine_chunks().to_numpy().astype("<i4"), offsets
+                "dls": varbyte_rows(
+                    entries["dl"].combine_chunks().to_numpy(), offsets
                 ),
             }
         )

@@ -139,3 +139,47 @@ def test_encode_posting_groups_rejects_dup():
         encode_posting_groups(
             np.array([1, 1]), np.array([1, 1]), np.array([2, 2]), np.array([0, 2])
         )
+
+
+def test_varbyte_rows_roundtrip():
+    """Per-row varbyte payloads (the slim partial-postings encoding):
+    random row shapes incl. empty rows, with and without delta."""
+    from gazetteer_search_ray.stages.tokenize import (
+        varbyte_flat_from_binary_col,
+        varbyte_rows,
+    )
+
+    r = np.random.default_rng(9)
+    for trial in range(5):
+        lens = r.integers(0, 40, size=30)
+        lens[r.integers(0, 30)] = 0  # force an empty row
+        off = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+        flat = r.integers(0, 2**40, size=int(lens.sum())).astype(np.int64)
+        col = varbyte_rows(flat, off)
+        got, cnt = varbyte_flat_from_binary_col(col)
+        np.testing.assert_array_equal(got, flat)
+        np.testing.assert_array_equal(cnt, lens)
+        # delta mode needs strictly increasing rows
+        parts = [np.cumsum(r.integers(1, 2**33, size=n)).astype(np.int64)
+                 for n in lens]
+        flat2 = np.concatenate(parts) if parts else np.empty(0, np.int64)
+        col2 = varbyte_rows(flat2, off, delta=True)
+        got2, cnt2 = varbyte_flat_from_binary_col(col2, delta=True)
+        np.testing.assert_array_equal(got2, flat2)
+        np.testing.assert_array_equal(cnt2, lens)
+
+
+def test_varbyte_rows_sliced_column():
+    """Decode must respect Arrow array offsets (sliced blocks)."""
+    from gazetteer_search_ray.stages.tokenize import (
+        varbyte_flat_from_binary_col,
+        varbyte_rows,
+    )
+
+    flat = np.arange(1, 101, dtype=np.int64) * 7
+    off = np.arange(0, 101, 10, dtype=np.int64)
+    col = varbyte_rows(flat, off)
+    tbl = __import__("pyarrow").table({"x": col}).slice(3, 4)
+    got, cnt = varbyte_flat_from_binary_col(tbl["x"])
+    np.testing.assert_array_equal(got, flat[30:70])
+    np.testing.assert_array_equal(cnt, [10, 10, 10, 10])
