@@ -133,11 +133,10 @@ def _write_html_report(out_dir: str, summary: dict, failures) -> None:
     n_chunks = max(1, -(-len(failures) // _HTML_CHUNK))
     for i in range(n_chunks):
         part = failures.iloc[i * _HTML_CHUNK : (i + 1) * _HTML_CHUNK]
+        cells = [part[c].astype(str).map(html.escape) for c in cols]
         rows = "\n".join(
-            "<tr>" + "".join(
-                f"<td>{html.escape(str(r[c]))}</td>" for c in cols
-            ) + "</tr>"
-            for _, r in part.iterrows()
+            "<tr><td>" + "</td><td>".join(vals) + "</td></tr>"
+            for vals in zip(*cells)
         )
         head = ""
         if i == 0:
