@@ -23,7 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pyarrow.parquet as pq
 
-from gazetteer_search_ray.sources.corpus import write_synthetic_corpus
+from gazetteer_search_ray.sources.corpus import (
+    _assign_doc_ids,
+    write_synthetic_corpus,
+)
 from gazetteer_search_ray.stages.tokenize import TokenizeStage
 
 SCRATCH = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
@@ -40,7 +43,8 @@ def main() -> None:
     n_rows = 0
     for fname in sorted(os.listdir(CORPUS)):
         t = pq.read_table(os.path.join(CORPUS, fname),
-                          columns=["doc_id", "content"])
+                          columns=["repo", "path", "commit", "content"])
+        t = _assign_doc_ids(t).select(["doc_id", "content"])
         for batch in t.to_batches(max_chunksize=512):
             import pyarrow as pa
 
