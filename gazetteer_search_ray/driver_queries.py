@@ -1305,13 +1305,179 @@ FROM s2 JOIN s3 ON s2.doc_id = s3.doc_id ORDER BY s2.doc_id"""
 }
 
 
+# ---------------------------------------------------------------------------
+# cleaning: PII scan/redact + boilerplate line removal
+# ---------------------------------------------------------------------------
+# The synthetic documents carry no natural PII and no newlines, so both
+# sides derive the SAME augmented view deterministically: PII snippets
+# appended by doc_id residue, a multi-line view via literal
+# replace('table' -> '\n' || 'table') (overlap-free, so pyarrow
+# replace_substring and DuckDB replace() agree byte-for-byte).
+
+_BP_MIN_DOCS = 3
+
+
+def _aug_pii(t):
+    """Append deterministic synthetic PII by doc_id residue (mirrors
+    the CLEANING_SQL ``aug`` CTE exactly)."""
+    df = t.to_pandas()
+    ids = df["doc_id"].astype("int64")
+    txt = df["text"].astype(str)
+    txt = txt + np.where(
+        ids % 5 == 0, " u" + (ids % 97).astype(str) + "@example.com", "")
+    txt = txt + np.where(ids % 7 == 0, " call 415-555-1234", "")
+    txt = txt + np.where(
+        ids % 11 == 0, " from 10.0." + (ids % 256).astype(str) + ".7", "")
+    txt = txt + np.where(ids % 13 == 0, " ssn 123-45-6789", "")
+    return pa.table({"doc_id": pa.array(ids.to_numpy(), pa.int64()),
+                     "text": pa.array(txt.tolist(), pa.string())})
+
+
+def _aug_lines(t):
+    """Multi-line view: newline before every literal 'table'."""
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "text": pc.replace_substring(t["text"], "table", "\ntable"),
+    })
+
+
+def _docs_pii(sf_dir):
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        _aug_pii, batch_format="pyarrow")
+
+
+def _docs_lines(sf_dir):
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        _aug_lines, batch_format="pyarrow")
+
+
+def q_pii_scan(sf_dir):
+    """Per-doc PII hit counts (email/ssn/ipv4/phone, RE2 kernels)."""
+    from .pipelines.cleaning import pii_scan
+
+    out = pii_scan(_docs_pii(sf_dir)).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_pii_redact(sf_dir):
+    """PII redaction: every match replaced by its tag, in pattern
+    order (sequential RE2 global replaces)."""
+    from .pipelines.cleaning import pii_redact
+
+    out = pii_redact(_docs_pii(sf_dir)).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_boilerplate(sf_dir):
+    """Corpus boilerplate report: lines in ≥3 distinct docs."""
+    from .pipelines.cleaning import boilerplate_lines
+
+    out = boilerplate_lines(_docs_lines(sf_dir), min_docs=_BP_MIN_DOCS)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out
+
+
+def q_boilerplate_drop(sf_dir):
+    """Docs with every ≥3-doc line removed (order preserved)."""
+    from .pipelines.cleaning import remove_boilerplate
+
+    out = remove_boilerplate(
+        _docs_lines(sf_dir), min_docs=_BP_MIN_DOCS).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _pii_sql_exprs():
+    from .pipelines.cleaning import DEFAULT_PII
+
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat, _ in DEFAULT_PII)
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))"
+        for _, pat, _ in DEFAULT_PII)
+    redact = "text"
+    for _, pat, tag in DEFAULT_PII:
+        redact = f"regexp_replace({redact}, '{pat}', '{tag}', 'g')"
+    return counts, total, redact
+
+
+_PII_COUNTS, _PII_TOTAL, _PII_REDACT = _pii_sql_exprs()
+
+_PII_AUG_CTE = """aug AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' u' || (doc_id % 97)::VARCHAR || '@example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' call 415-555-1234' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' from 10.0.' || (doc_id % 256)::VARCHAR || '.7'
+            ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+    AS text
+  FROM documents
+)"""
+
+_BP_LINES_CTE = f"""docs AS (
+  SELECT doc_id, replace(text, 'table', chr(10) || 'table') AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS idx
+  FROM docs
+),
+freq AS (
+  SELECT line FROM lines WHERE line <> ''
+  GROUP BY line HAVING count(DISTINCT doc_id) >= {_BP_MIN_DOCS}
+)"""
+
+CLEANING_SQL = {
+    "pii_scan": (
+        f"WITH {_PII_AUG_CTE} "
+        f"SELECT doc_id, {_PII_COUNTS}, ({_PII_TOTAL})::BIGINT AS n_pii "
+        "FROM aug ORDER BY doc_id"
+    ),
+    "pii_redact": (
+        f"WITH {_PII_AUG_CTE} "
+        f"SELECT doc_id, {_PII_REDACT} AS text FROM aug ORDER BY doc_id"
+    ),
+    "boilerplate": (
+        f"""WITH {_BP_LINES_CTE}
+SELECT line, count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM lines WHERE line <> ''
+GROUP BY line HAVING count(DISTINCT doc_id) >= {_BP_MIN_DOCS}
+ORDER BY n_docs DESC, line"""
+    ),
+    "boilerplate_drop": (
+        f"""WITH {_BP_LINES_CTE}
+SELECT d.doc_id, coalesce(k.text, '') AS text
+FROM docs d
+LEFT JOIN (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
+  FROM lines WHERE line NOT IN (SELECT line FROM freq)
+  GROUP BY doc_id
+) k USING (doc_id)
+ORDER BY d.doc_id"""
+    ),
+}
+
+
 def all_queries() -> dict:
     # Ordering matters: the driver's CORRECTNESS file records exactly the
-    # first 50 entries, so the 7 pipelines that had never had a
-    # driver-recorded row (events_sessions/asof/attrib, decontam(_drop),
-    # dedup_clusters/(_drop)) lead, and 7 long-stable trivial entries
-    # (term_stats, doc_freq_top, corpus_stats, topk_paged, paged_scroll,
-    # quality, histogram — green every round since r1) rotate to the end.
+    # first 50 entries, so entries that never had a driver-recorded row
+    # lead: the 7 rotated in round 5 (events_sessions/asof/attrib,
+    # decontam(_drop), dedup_clusters/(_drop)) plus the 4 new round-5
+    # cleaning ops (pii_scan/redact, boilerplate(_drop)).  Rotated to
+    # the end: 7 long-stable trivial entries (term_stats, doc_freq_top,
+    # corpus_stats, topk_paged, paged_scroll, quality, histogram —
+    # green every round since r1) and 4 textstats entries green in the
+    # r3+r4 driver files (lang_id, fingerprint, approx_distinct,
+    # token_count_bpe).
     return {
         "events_sessions": q_events_sessions,
         "events_asof": q_events_asof,
@@ -1320,6 +1486,10 @@ def all_queries() -> dict:
         "decontam_drop": q_decontam_drop,
         "dedup_clusters": q_dedup_clusters,
         "dedup_cluster_drop": q_dedup_cluster_drop,
+        "pii_scan": q_pii_scan,
+        "pii_redact": q_pii_redact,
+        "boilerplate": q_boilerplate,
+        "boilerplate_drop": q_boilerplate_drop,
         "bm25_rare": q_bm25_rare,
         "bm25_hot": q_bm25_hot,
         "bm25_or": q_bm25_or,
@@ -1353,10 +1523,6 @@ def all_queries() -> dict:
         "repetition": q_repetition,
         "top_tokens": q_top_tokens,
         "stratified_sample": q_stratified,
-        "token_count_bpe": q_token_count_bpe,
-        "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
-        "approx_distinct": q_approx_distinct,
         "bm25_fuzzy": q_bm25_fuzzy,
         "bm25_range": q_bm25_range,
         "bm25_box": q_bm25_box,
@@ -1370,6 +1536,10 @@ def all_queries() -> dict:
         "paged_scroll": q_paged_scroll,
         "quality": q_quality,
         "histogram": q_histogram,
+        "token_count_bpe": q_token_count_bpe,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "approx_distinct": q_approx_distinct,
     }
 
 
@@ -1381,7 +1551,8 @@ def all_oracle_sql() -> dict:
     # fingerprint / approx_distinct replicate the exact hash arithmetic,
     # and mass_eval recomputes the search cascade per eval query.
     sql = {**SEARCH_SQL, **EXTRA_SQL, **DEDUP_SQL, **TEXTSTATS_SQL,
-           **MASS_EVAL_SQL, **FUZZY_RANGE_SQL, **WINDOW_SQL}
+           **MASS_EVAL_SQL, **FUZZY_RANGE_SQL, **WINDOW_SQL,
+           **CLEANING_SQL}
     sql["ann_lsh"] = EXTRA_SQL["ann_topk"]  # full probe ≡ brute force
     sql["ann_ivf"] = EXTRA_SQL["ann_topk"]  # nprobe=n_clusters ≡ brute force
     return sql

@@ -1,0 +1,176 @@
+"""Corpus-cleaning operators: PII scan/redaction and corpus-level
+boilerplate line removal.
+
+The reference engine has no cleaning stage (its import pipeline
+normalizes but never drops content — SURVEY.md §2.2), but both
+operators are staples of large-scale training-data pipelines, so they
+ship as first-class pipeline members with DuckDB oracles
+(``driver_queries.py``: ``pii_scan`` / ``pii_redact`` /
+``boilerplate`` / ``boilerplate_drop``).
+
+Scale shapes:
+
+* **PII scan/redact** are embarrassingly parallel ``map_batches``
+  stages — RE2 kernels (``pyarrow.compute.count_substring_regex`` /
+  ``replace_substring_regex``) over zero-copy Arrow batches, no
+  shuffle, no state.  DuckDB's regex engine is also RE2, so the SQL
+  oracles match byte-for-byte (differentially tested in
+  ``tests/test_cleaning.py``).
+* **Boilerplate removal** needs one corpus-wide exchange: which lines
+  appear in ≥ ``min_docs`` distinct documents.  Each doc lives whole
+  in one row, so per-doc line dedup happens inside ``map_batches``
+  (no shuffle), and one ``groupby(line).count()`` — the only
+  all-to-all — yields exact distinct-doc counts.  The frequent-line
+  set is bounded by corpus redundancy (lines repeated across ≥ K
+  docs), NOT by corpus size; it is broadcast once via ``ray.put`` and
+  read in each filter actor's ``__init__``, never re-shipped per
+  batch.  A pathological corpus (every line shared) degrades the
+  broadcast, not the exchange — raise ``min_docs`` or pre-hash lines
+  in that regime.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# (name, RE2 pattern, redaction tag) — order is the REDACTION order
+# (email first: its local part may contain digit runs a later phone
+# pass would otherwise mangle).  Scan counts are per-pattern over the
+# ORIGINAL text and may overlap across categories.
+DEFAULT_PII: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\(?\d{3}\)?[ .\-]\d{3}[ .\-]\d{4}", "<PHONE>"),
+)
+
+
+def pii_scan(ds, text_col: str = "text", id_col: str = "doc_id",
+             patterns: tuple = DEFAULT_PII):
+    """Per-doc PII hit counts (one ``n_<name>`` column per pattern,
+    plus their sum ``n_pii``).  Pure ``map_batches`` — no shuffle."""
+    names = [name for name, _, _ in patterns]
+
+    def scan(t: pa.Table) -> pa.Table:
+        cols: dict = {id_col: t[id_col]}
+        total = np.zeros(t.num_rows, dtype=np.int64)
+        for name, pat, _ in patterns:
+            c = pc.count_substring_regex(t[text_col], pat)
+            c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            cnt = c.to_numpy(zero_copy_only=False).astype(np.int64)
+            cols[f"n_{name}"] = pa.array(cnt)
+            total += cnt
+        cols["n_pii"] = pa.array(total)
+        return pa.table(cols)
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def pii_redact(ds, text_col: str = "text", id_col: str = "doc_id",
+               patterns: tuple = DEFAULT_PII):
+    """Replace every PII match with its tag, sequentially in pattern
+    order (matches DuckDB's nested ``regexp_replace(..., 'g')``)."""
+
+    def redact(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        for _, pat, tag in patterns:
+            txt = pc.replace_substring_regex(txt, pattern=pat,
+                                             replacement=tag)
+        return pa.table({id_col: t[id_col], text_col: txt})
+
+    return ds.map_batches(redact, batch_format="pyarrow")
+
+
+def _doc_lines(t: pa.Table, text_col: str, sep: str) -> pd.DataFrame:
+    """Distinct non-empty lines per doc in this batch — (line,) rows,
+    one per (doc, line).  Docs are whole rows, so this dedup is local."""
+    split = pc.split_pattern(t[text_col], sep)
+    split = split.combine_chunks() if isinstance(split, pa.ChunkedArray) \
+        else split
+    n_lines = pc.list_value_length(split).to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(t.num_rows), n_lines)
+    df = pd.DataFrame({
+        "line": split.flatten().to_pandas(),
+        "__doc": doc_idx,
+    })
+    df = df[df["line"] != ""].drop_duplicates()
+    return df[["line"]]
+
+
+def boilerplate_lines(ds, text_col: str = "text", id_col: str = "doc_id",
+                      min_docs: int = 3, sep: str = "\n") -> pd.DataFrame:
+    """Lines appearing in ≥ ``min_docs`` distinct docs →
+    ``(line, n_docs)``, n_docs desc then line asc.  One
+    ``groupby(line)`` exchange; the result is redundancy-bounded."""
+    from ray.data.aggregate import Count
+
+    lines = ds.map_batches(
+        lambda t: pa.Table.from_pandas(_doc_lines(t, text_col, sep),
+                                       preserve_index=False),
+        batch_format="pyarrow",
+    )
+    counts = lines.groupby("line").aggregate(Count(alias_name="n_docs"))
+    # the counts table is corpus-scale (every distinct line) — filter
+    # vectorized per batch; only the redundancy-bounded survivors
+    # reach the driver
+    rep = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_docs"], min_docs)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if rep.empty:  # all-blocks-filtered loses the schema
+        rep = pd.DataFrame({"line": pd.Series(dtype=str),
+                            "n_docs": pd.Series(dtype=np.int64)})
+    rep["n_docs"] = rep["n_docs"].astype(np.int64)
+    return rep.sort_values(["n_docs", "line"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
+class _LineFilter:
+    """Actor-pool stage: drops the broadcast frequent-line set from
+    each doc, preserving line order.  The set is fetched once per
+    actor (``ray.get`` in ``__init__``), never per batch."""
+
+    def __init__(self, freq_ref, text_col: str, id_col: str, sep: str):
+        import ray
+
+        self.freq = set(ray.get(freq_ref))
+        self.text_col, self.id_col, self.sep = text_col, id_col, sep
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        split = pc.split_pattern(t[self.text_col], self.sep)
+        split = split.combine_chunks() \
+            if isinstance(split, pa.ChunkedArray) else split
+        values = split.flatten()
+        keep = ~pd.Series(values.to_pandas()).isin(self.freq).to_numpy()
+        n_lines = pc.list_value_length(split).to_numpy(zero_copy_only=False)
+        ends = np.cumsum(n_lines)
+        kept_per_doc = np.zeros(t.num_rows, dtype=np.int64)
+        if len(keep):
+            csum = np.concatenate(([0], np.cumsum(keep)))
+            starts = np.concatenate(([0], ends[:-1]))
+            kept_per_doc = csum[ends] - csum[starts]
+        new_offsets = np.concatenate(([0], np.cumsum(kept_per_doc)))
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(new_offsets, pa.int32()), values.filter(pa.array(keep)))
+        joined = pc.binary_join(kept_list, self.sep)
+        return pa.table({self.id_col: t[self.id_col], self.text_col: joined})
+
+
+def remove_boilerplate(ds, text_col: str = "text", id_col: str = "doc_id",
+                       min_docs: int = 3, sep: str = "\n",
+                       concurrency: int = 2):
+    """Drop every ≥``min_docs``-doc line from every doc.  Two passes
+    over the corpus (count, then filter); the line set rides the
+    object store once."""
+    import ray
+
+    rep = boilerplate_lines(ds, text_col, id_col, min_docs, sep)
+    freq_ref = ray.put(rep["line"].tolist())
+    return ds.map_batches(
+        _LineFilter, batch_format="pyarrow", concurrency=concurrency,
+        fn_constructor_kwargs=dict(freq_ref=freq_ref, text_col=text_col,
+                                   id_col=id_col, sep=sep),
+    )

@@ -1,0 +1,135 @@
+"""Cleaning operators: PII scan/redact + boilerplate line removal.
+
+Differential oracle: DuckDB shares the RE2 regex engine with pyarrow,
+so the SQL expressions the driver contract uses (CLEANING_SQL) must
+match the Ray pipelines byte-for-byte on arbitrary text.
+"""
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from gazetteer_search_ray.pipelines.cleaning import (
+    DEFAULT_PII,
+    boilerplate_lines,
+    pii_redact,
+    pii_scan,
+    remove_boilerplate,
+)
+
+TEXTS = [
+    "write bob.smith+x@ex-ample.co.uk or call 415-555-1234 now",
+    "server at 10.0.0.1 and 255.255.255.255, ssn 123-45-6789",
+    "no pii here",
+    "a@b.io a@b.io (650) 555-0000 +1 650 555 0000",
+    "",
+]
+
+
+def _ds(texts):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+
+
+def test_pii_scan_counts(ray_session):
+    out = pii_scan(_ds(TEXTS)).to_pandas().sort_values("doc_id")
+    assert out["n_email"].tolist() == [1, 0, 0, 2, 0]
+    assert out["n_phone"].tolist() == [1, 0, 0, 2, 0]
+    assert out["n_ipv4"].tolist() == [0, 2, 0, 0, 0]
+    assert out["n_ssn"].tolist() == [0, 1, 0, 0, 0]
+    assert out["n_pii"].tolist() == [2, 3, 0, 4, 0]
+
+
+def test_pii_redact_matches_duckdb(ray_session):
+    got = pii_redact(_ds(TEXTS)).to_pandas().sort_values("doc_id")
+    expr = "t"
+    for _, pat, tag in DEFAULT_PII:
+        expr = f"regexp_replace({expr}, '{pat}', '{tag}', 'g')"
+    want = [r[0] for r in duckdb.sql(
+        f"SELECT {expr} FROM (SELECT unnest($1) AS t)", params=[TEXTS]
+    ).fetchall()]
+    assert got["text"].tolist() == want
+    assert "<EMAIL>" in got["text"].iloc[0]
+    assert "415-555-1234" not in got["text"].iloc[0]
+
+
+def test_pii_scan_matches_duckdb(ray_session):
+    got = pii_scan(_ds(TEXTS)).to_pandas().sort_values("doc_id")
+    for name, pat, _ in DEFAULT_PII:
+        want = [r[0] for r in duckdb.sql(
+            f"SELECT len(regexp_extract_all(t, '{pat}')) "
+            "FROM (SELECT unnest($1) AS t)", params=[TEXTS]).fetchall()]
+        assert got[f"n_{name}"].tolist() == want, name
+
+
+BP_TEXTS = [
+    "header\nalpha beta\nfooter",
+    "header\ngamma\nfooter",
+    "header\nalpha beta\ndelta",
+    "unique only",
+    "header\nfooter",  # doc of ONLY boilerplate -> empty after removal
+]
+
+
+def test_boilerplate_lines(ray_session):
+    rep = boilerplate_lines(_ds(BP_TEXTS), min_docs=3)
+    assert rep[["line", "n_docs"]].values.tolist() == [
+        ["header", 4], ["footer", 3]]
+    # min_docs=2 picks up 'alpha beta'
+    rep2 = boilerplate_lines(_ds(BP_TEXTS), min_docs=2)
+    assert set(rep2["line"]) == {"header", "footer", "alpha beta"}
+
+
+def test_boilerplate_counts_docs_not_occurrences(ray_session):
+    # a line repeated many times INSIDE one doc counts once
+    texts = ["spam\nspam\nspam\nspam", "spam\nreal", "other"]
+    rep = boilerplate_lines(_ds(texts), min_docs=2)
+    assert rep.values.tolist() == [["spam", 2]]
+    rep3 = boilerplate_lines(_ds(texts), min_docs=3)
+    assert rep3.empty
+
+
+def test_remove_boilerplate_preserves_order(ray_session):
+    out = remove_boilerplate(
+        _ds(BP_TEXTS), min_docs=3).to_pandas().sort_values("doc_id")
+    assert out["text"].tolist() == [
+        "alpha beta", "gamma", "alpha beta\ndelta", "unique only", ""]
+
+
+def test_remove_boilerplate_matches_duckdb(ray_session):
+    got = remove_boilerplate(
+        _ds(BP_TEXTS), min_docs=3).to_pandas().sort_values("doc_id")
+    want = duckdb.sql("""
+WITH docs(doc_id, text) AS (SELECT unnest($1), unnest($2)),
+lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS idx
+  FROM docs),
+freq AS (SELECT line FROM lines WHERE line <> ''
+         GROUP BY line HAVING count(DISTINCT doc_id) >= 3)
+SELECT d.doc_id, coalesce(k.text, '') AS text FROM docs d
+LEFT JOIN (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
+           FROM lines WHERE line NOT IN (SELECT line FROM freq)
+           GROUP BY doc_id) k USING (doc_id)
+ORDER BY d.doc_id
+""", params=[list(range(len(BP_TEXTS))), BP_TEXTS]).fetchall()
+    assert got["text"].tolist() == [r[1] for r in want]
+
+
+def test_cleaning_registry_entries_present():
+    from gazetteer_search_ray.driver_queries import (
+        all_oracle_sql,
+        all_queries,
+    )
+
+    qs = all_queries()
+    sql = all_oracle_sql()
+    names = ["pii_scan", "pii_redact", "boilerplate", "boilerplate_drop"]
+    first50 = list(qs)[:50]
+    for n in names:
+        assert n in qs and n in sql
+        assert n in first50  # driver records exactly 50 rows
+    assert set(qs) == set(sql)  # every pipeline is oracle-backed
