@@ -162,7 +162,8 @@ def run_bench() -> dict:
         dq.get_searcher(SF_DIR)  # warm the cached index for the queries below
         for name in ["bm25_or", "dedup_exact", "dedup_minhash", "ann_topk",
                      "token_stats", "join_agg", "decontam", "top_tokens",
-                     "events_attrib", "events_asof"]:
+                     "events_attrib", "events_asof", "pii_scan",
+                     "boilerplate_drop"]:
             t0 = time.monotonic()
             dq.all_queries()[name](SF_DIR)
             sf_timings[name] = round(time.monotonic() - t0, 3)
