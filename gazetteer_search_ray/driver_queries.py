@@ -1814,24 +1814,25 @@ def q_events_asof(sf_dir):
     left = ev.filter(expr="event_type == 'click'").select_columns(
         ["event_id", "user_id", "tss"]
     )
-    # right side pre-reduced to one row per (user_id, tss): max(value)
-    # wins — same reduction as the oracle, so payloads are deterministic
+    # duplicate (user_id, tss) right rows resolve to max(value) INSIDE
+    # the join's one sort exchange (right_tiebreak) — same answer as
+    # the oracle's pre-reduce, one whole groupby shuffle cheaper
+    # (round(·) is monotone, so max-of-rounded == round-of-max here)
     right = (
         ev.filter(expr="event_type == 'purchase'")
         .select_columns(["user_id", "tss", "value"])
-        .groupby(["user_id", "tss"])
-        .max("value")
         .map_batches(
             lambda t: pa.table({
                 "user_id": t["user_id"],
                 "tss": pc.cast(t["tss"], pa.int64()),
                 "purch_tss": pc.cast(t["tss"], pa.int64()),
-                "purch_value": pc.round(t["max(value)"], 6),
+                "purch_value": pc.round(t["value"], 6),
             }),
             batch_format="pyarrow",
         )
     )
-    out = asof_join(left, right, key_col="user_id", on_col="tss").to_pandas()
+    out = asof_join(left, right, key_col="user_id", on_col="tss",
+                    right_tiebreak="purch_value").to_pandas()
     for c in ("event_id", "user_id", "tss"):
         out[c] = out[c].astype(np.int64)
     out["purch_value"] = np.round(out["purch_value"].astype(np.float64), 6)

@@ -133,7 +133,8 @@ class _MixedResolver:
         return out
 
 
-def asof_join(left_ds, right_ds, key_col: str, on_col: str):
+def asof_join(left_ds, right_ds, key_col: str, on_col: str,
+              right_tiebreak: str | None = None):
     """Asof-LEFT-join two Datasets: for each left row, attach the right
     row with equal ``key_col`` and the greatest ``on_col`` <= the left
     row's (typed nulls when none exists).
@@ -142,7 +143,14 @@ def asof_join(left_ds, right_ds, key_col: str, on_col: str):
     timestamps to int64 upstream).  All other column names must be
     disjoint between the sides; the right side's non-key/on columns
     become the attached payload.  Right rows should be unique per
-    (key, on) — with duplicates the last in sort order wins.
+    (key, on) — with duplicates the last in sort order wins, which is
+    nondeterministic UNLESS ``right_tiebreak`` names a right payload
+    column: it is appended to the sort key, so among equal
+    (key, on) right rows the row with the MAX tiebreak value wins
+    (the cummax kernel picks the last row of the run).  This folds
+    the usual pre-reduce ``groupby(key, on).max(payload)`` into the
+    one sort exchange the join already pays — callers with a single
+    payload column should prefer it over a separate groupby shuffle.
 
     Returns a Dataset with the left schema + right payload columns.
     """
@@ -165,12 +173,21 @@ def asof_join(left_ds, right_ds, key_col: str, on_col: str):
         lambda t: _tag(t, _SIDE_L, all_names, types), batch_format="pyarrow")
     tagged_r = right_ds.map_batches(
         lambda t: _tag(t, _SIDE_R, all_names, types), batch_format="pyarrow")
+    sort_keys = [key_col, on_col, _SIDE]
+    if right_tiebreak is not None:
+        if right_tiebreak not in right_payload:
+            raise ValueError(
+                f"right_tiebreak {right_tiebreak!r} is not a right "
+                f"payload column {right_payload}")
+        # left rows hold a typed null here; _SIDE already separates the
+        # sides within a (key, on) run, so null placement is irrelevant
+        sort_keys.append(right_tiebreak)
     # ONE range exchange, then ONE pass over the sorted blocks emitting
     # both resolved rows and boundary rows from the same batch view (the
     # exactly-once coverage is structural — see _MixedResolver)
     mixed = (
         tagged_l.union(tagged_r)
-        .sort([key_col, on_col, _SIDE])
+        .sort(sort_keys)
         .map_batches(_MixedResolver(key_col, left_cols, right_payload),
                      batch_format="pyarrow")
         .materialize()
@@ -194,8 +211,8 @@ def asof_join(left_ds, right_ds, key_col: str, on_col: str):
     if bnd.num_rows:
         # boundary rows from different blocks arrive unordered; re-sort
         # the SMALL set (O(#blocks) runs) and run the same exact kernel
-        bnd = bnd.sort_by([(key_col, "ascending"), (on_col, "ascending"),
-                           (_SIDE, "ascending")])
+        bnd = bnd.sort_by(
+            [(k, "ascending") for k in sort_keys])
         fix = _resolve_sorted(bnd, key_col, left_cols, right_payload)
         if fix.num_rows:
             resolved = resolved.union(rd.from_arrow(fix))

@@ -136,3 +136,43 @@ def test_asof_driver_query_matches_oracle(ray_session, sf_dir):
     got = got.reset_index(drop=True)
     want = want.reset_index(drop=True)[got.columns]
     pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_asof_right_tiebreak_resolves_duplicates(ray_session):
+    """Duplicate (key, on) right rows: right_tiebreak folds the
+    groupby(key, on).max(payload) pre-reduce into the join's one sort
+    exchange — the matched payload must be the per-(key, on) MAX."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 8, 200),
+        "t": rng.integers(0, 300, 200),
+        "lid": np.arange(200),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 8, 400),
+        "t": rng.integers(0, 300, 400),       # heavy (k, t) duplication
+        "pay": rng.normal(size=400).round(6),
+    })
+    got = asof_join(
+        rd.from_arrow(pa.Table.from_pandas(left)).repartition(4),
+        rd.from_arrow(pa.Table.from_pandas(right)).repartition(4),
+        key_col="k", on_col="t", right_tiebreak="pay",
+    ).to_pandas().sort_values("lid").reset_index(drop=True)
+    reduced = right.groupby(["k", "t"], as_index=False)["pay"].max()
+    want = _brute(left, reduced, "k", "t", ["pay"]) \
+        .sort_values("lid").reset_index(drop=True)[got.columns]
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()),
+                                  check_like=True)
+
+
+def test_asof_tiebreak_must_be_payload(ray_session):
+    import ray.data as rd
+
+    left = pd.DataFrame({"k": [1], "t": [1], "lid": [0]})
+    right = pd.DataFrame({"k": [1], "t": [0], "pay": [1.0]})
+    with pytest.raises(ValueError, match="right_tiebreak"):
+        asof_join(rd.from_arrow(pa.Table.from_pandas(left)),
+                  rd.from_arrow(pa.Table.from_pandas(right)),
+                  key_col="k", on_col="t", right_tiebreak="nope")
