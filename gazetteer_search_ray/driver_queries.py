@@ -1390,6 +1390,50 @@ def q_boilerplate_drop(sf_dir):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+_URL_BLOCKLIST = ("blocked.evil.net", "spam.example.org")
+
+
+def _aug_urls(t):
+    """Append deterministic synthetic URLs by doc_id residue (mirrors
+    the CLEANING_SQL ``aug_u`` CTE exactly)."""
+    df = t.to_pandas()
+    ids = df["doc_id"].astype("int64")
+    txt = df["text"].astype(str)
+    txt = txt + np.where(
+        ids % 3 == 0,
+        " see https://example.com/p" + (ids % 50).astype(str), "")
+    txt = txt + np.where(ids % 9 == 0, " https://blocked.evil.net/x", "")
+    txt = txt + np.where(
+        ids % 15 == 0, " link https://Spam.Example.ORG/q", "")
+    return pa.table({"doc_id": pa.array(ids.to_numpy(), pa.int64()),
+                     "text": pa.array(txt.tolist(), pa.string())})
+
+
+def _docs_urls(sf_dir):
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        _aug_urls, batch_format="pyarrow")
+
+
+def q_url_extract(sf_dir):
+    """URL explode: every http(s) URL with its lowercased domain."""
+    from .pipelines.cleaning import extract_urls
+
+    out = extract_urls(_docs_urls(sf_dir)).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values(["doc_id", "url"]).reset_index(drop=True)
+
+
+def q_url_filter(sf_dir):
+    """Domain-blocklist filter: docs with any blocked-domain URL drop
+    (case-insensitive, broadcast blocklist)."""
+    from .pipelines.cleaning import filter_blocked_domains
+
+    out = filter_blocked_domains(
+        _docs_urls(sf_dir), _URL_BLOCKLIST).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _pii_sql_exprs():
     from .pipelines.cleaning import DEFAULT_PII
 
@@ -1436,7 +1480,43 @@ freq AS (
   GROUP BY line HAVING count(DISTINCT doc_id) >= {_BP_MIN_DOCS}
 )"""
 
+_URL_AUG_CTE = """aug_u AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' see https://example.com/p' || (doc_id % 50)::VARCHAR
+            ELSE '' END
+    || CASE WHEN doc_id % 9 = 0
+            THEN ' https://blocked.evil.net/x' ELSE '' END
+    || CASE WHEN doc_id % 15 = 0
+            THEN ' link https://Spam.Example.ORG/q' ELSE '' END
+    AS text
+  FROM documents
+)"""
+
+_URL_PAT = r"https?://[A-Za-z0-9.\-]+(?:/[^\s]*)?"
+_DOM_PAT = r"https?://([A-Za-z0-9.\-]+)"
+
 CLEANING_SQL = {
+    "url_extract": (
+        f"""WITH {_URL_AUG_CTE},
+u AS (SELECT doc_id, unnest(regexp_extract_all(text, '{_URL_PAT}')) AS url
+      FROM aug_u)
+SELECT doc_id, url,
+       lower(regexp_extract(url, '{_DOM_PAT}', 1)) AS domain
+FROM u ORDER BY doc_id, url"""
+    ),
+    "url_filter": (
+        f"""WITH {_URL_AUG_CTE},
+u AS (SELECT doc_id, unnest(regexp_extract_all(text, '{_URL_PAT}')) AS url
+      FROM aug_u),
+bad AS (
+  SELECT DISTINCT doc_id FROM u
+  WHERE lower(regexp_extract(url, '{_DOM_PAT}', 1))
+        IN ('blocked.evil.net', 'spam.example.org')
+)
+SELECT doc_id, text FROM aug_u
+WHERE doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY doc_id"""
+    ),
     "pii_scan": (
         f"WITH {_PII_AUG_CTE} "
         f"SELECT doc_id, {_PII_COUNTS}, ({_PII_TOTAL})::BIGINT AS n_pii "
@@ -1471,13 +1551,14 @@ def all_queries() -> dict:
     # Ordering matters: the driver's CORRECTNESS file records exactly the
     # first 50 entries, so entries that never had a driver-recorded row
     # lead: the 7 rotated in round 5 (events_sessions/asof/attrib,
-    # decontam(_drop), dedup_clusters/(_drop)) plus the 4 new round-5
-    # cleaning ops (pii_scan/redact, boilerplate(_drop)).  Rotated to
-    # the end: 7 long-stable trivial entries (term_stats, doc_freq_top,
-    # corpus_stats, topk_paged, paged_scroll, quality, histogram —
-    # green every round since r1) and 4 textstats entries green in the
-    # r3+r4 driver files (lang_id, fingerprint, approx_distinct,
-    # token_count_bpe).
+    # decontam(_drop), dedup_clusters/(_drop)) plus the 6 new round-5
+    # cleaning ops (pii_scan/redact, boilerplate(_drop),
+    # url_extract/filter).  Rotated past position 50: 7 long-stable
+    # trivial entries (term_stats, doc_freq_top, corpus_stats,
+    # topk_paged, paged_scroll, quality, histogram — green every round
+    # since r1), 4 textstats entries green in the r3+r4 driver files
+    # (lang_id, fingerprint, approx_distinct, token_count_bpe), and
+    # events_window/events_hopping (green r3+r4).
     return {
         "events_sessions": q_events_sessions,
         "events_asof": q_events_asof,
@@ -1490,6 +1571,8 @@ def all_queries() -> dict:
         "pii_redact": q_pii_redact,
         "boilerplate": q_boilerplate,
         "boilerplate_drop": q_boilerplate_drop,
+        "url_extract": q_url_extract,
+        "url_filter": q_url_filter,
         "bm25_rare": q_bm25_rare,
         "bm25_hot": q_bm25_hot,
         "bm25_or": q_bm25_or,

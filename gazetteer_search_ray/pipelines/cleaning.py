@@ -128,6 +128,66 @@ def boilerplate_lines(ds, text_col: str = "text", id_col: str = "doc_id",
                            ascending=[False, True]).reset_index(drop=True)
 
 
+URL_RE = r"https?://[A-Za-z0-9.\-]+(?:/[^\s]*)?"
+# pc.extract_regex requires NAMED groups; the plain-group twin of this
+# pattern lives in driver_queries._DOM_PAT for the DuckDB oracle
+_DOMAIN_RE = r"https?://(?P<d>[A-Za-z0-9.\-]+)"
+
+
+def extract_urls(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Explode every http(s) URL → ``(id, url, domain)`` rows (domain
+    lowercased).  Shuffle-free flat map; the per-batch findall loop is
+    C-level regex matching with the pattern compiled once per task.
+    Matches DuckDB ``regexp_extract_all`` (same matches on the shared
+    simple-dialect pattern — differentially tested)."""
+    import re
+
+    pat = re.compile(URL_RE)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        matches = [pat.findall(s) if s else []
+                   for s in t[text_col].to_pylist()]
+        counts = np.fromiter((len(m) for m in matches), np.int64,
+                             len(matches))
+        urls = pa.array([u for m in matches for u in m], pa.string())
+        doms = pc.utf8_lower(pc.struct_field(
+            pc.extract_regex(urls, _DOMAIN_RE), "d"))
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, counts)),
+            "url": urls,
+            "domain": doms,
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def filter_blocked_domains(ds, blocked, text_col: str = "text",
+                           id_col: str = "doc_id"):
+    """Drop docs containing ANY URL whose domain is in ``blocked``
+    (case-insensitive).  The blocklist is a broadcast set (tiny);
+    shuffle-free membership pass, the C4-pipeline URL filter shape."""
+    import re
+
+    pat = re.compile(URL_RE)
+    dom_pat = re.compile(_DOMAIN_RE)
+    block = {d.lower() for d in blocked}
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = np.ones(t.num_rows, dtype=bool)
+        for i, s in enumerate(t[text_col].to_pylist()):
+            if not s or "://" not in s:
+                continue
+            for u in pat.findall(s):
+                m = dom_pat.match(u)
+                if m and m.group(1).lower() in block:
+                    mask[i] = False
+                    break
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 class _LineFilter:
     """Actor-pool stage: drops the broadcast frequent-line set from
     each doc, preserving line order.  The set is fetched once per

@@ -133,3 +133,57 @@ def test_cleaning_registry_entries_present():
         assert n in qs and n in sql
         assert n in first50  # driver records exactly 50 rows
     assert set(qs) == set(sql)  # every pipeline is oracle-backed
+
+
+URL_TEXTS = [
+    "see https://example.com/a?b=1 and http://sub.test.org/path.",
+    "visit https://Blocked.EVIL.net/x then https://ok.io",
+    "no urls",
+    "https://Example.COM/UPPER https://example.com",
+]
+
+
+def test_extract_urls(ray_session):
+    from gazetteer_search_ray.pipelines.cleaning import extract_urls
+
+    out = extract_urls(_ds(URL_TEXTS)).to_pandas() \
+        .sort_values(["doc_id", "url"]).reset_index(drop=True)
+    assert out["url"].tolist() == [
+        "http://sub.test.org/path.", "https://example.com/a?b=1",
+        "https://Blocked.EVIL.net/x", "https://ok.io",
+        "https://Example.COM/UPPER", "https://example.com",
+    ]
+    assert out["domain"].tolist() == [
+        "sub.test.org", "example.com", "blocked.evil.net", "ok.io",
+        "example.com", "example.com",
+    ]
+
+
+def test_extract_urls_matches_duckdb(ray_session):
+    from gazetteer_search_ray.pipelines.cleaning import URL_RE, extract_urls
+
+    got = extract_urls(_ds(URL_TEXTS)).to_pandas() \
+        .sort_values(["doc_id", "url"]).reset_index(drop=True)
+    want = duckdb.sql(f"""
+WITH docs(doc_id, text) AS (SELECT unnest($1), unnest($2)),
+u AS (SELECT doc_id, unnest(regexp_extract_all(text, '{URL_RE}')) AS url
+      FROM docs)
+SELECT doc_id, url,
+       lower(regexp_extract(url, 'https?://([A-Za-z0-9.\\-]+)', 1)) AS domain
+FROM u ORDER BY doc_id, url
+""", params=[list(range(len(URL_TEXTS))), URL_TEXTS]).fetchall()
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_filter_blocked_domains(ray_session):
+    from gazetteer_search_ray.pipelines.cleaning import (
+        filter_blocked_domains,
+    )
+
+    out = filter_blocked_domains(
+        _ds(URL_TEXTS), ["blocked.evil.net"]).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [0, 2, 3]  # doc 1 dropped
+    # case-insensitive both ways
+    out2 = filter_blocked_domains(
+        _ds(URL_TEXTS), ["BLOCKED.evil.NET"]).to_pandas()
+    assert sorted(out2["doc_id"].tolist()) == [0, 2, 3]
