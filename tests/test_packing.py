@@ -1,0 +1,136 @@
+"""Global-order primitives (pipelines/packing.py): distributed prefix
+sums — row numbering, sequence packing, exact quantiles — checked
+against brute-force references on shuffled multi-block inputs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gazetteer_search_ray.pipelines.packing import (
+    exact_quantiles,
+    global_row_number,
+    pack_spans,
+)
+
+
+def _ds(df: pd.DataFrame, nparts: int = 7):
+    import ray.data as rd
+
+    return rd.from_pandas(df).repartition(nparts)
+
+
+@pytest.fixture(scope="module")
+def docs_df() -> pd.DataFrame:
+    rng = np.random.default_rng(11)
+    n = 2_000
+    return pd.DataFrame(
+        {
+            "doc_id": rng.permutation(n).astype(np.int64),
+            "n_tokens": rng.integers(0, 300, n).astype(np.int64),
+            "v": rng.integers(0, 50, n).astype(np.int64),
+        }
+    )
+
+
+def test_global_row_number_dense(ray_session, docs_df):
+    out = (
+        global_row_number(_ds(docs_df), ["doc_id"])
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert (out["row_id"].to_numpy() == np.arange(len(docs_df))).all()
+
+
+def test_global_row_number_multi_key(ray_session, docs_df):
+    # (v, doc_id) composite key: ties in v broken by doc_id
+    out = (
+        global_row_number(_ds(docs_df), ["v", "doc_id"])
+        .to_pandas()
+        .sort_values(["v", "doc_id"])
+    )
+    assert (out["row_id"].to_numpy() == np.arange(len(docs_df))).all()
+
+
+def _brute_pack(df: pd.DataFrame, L: int) -> pd.DataFrame:
+    d = df[df.n_tokens > 0].sort_values("doc_id").reset_index(drop=True)
+    start = d.n_tokens.cumsum().shift(fill_value=0).to_numpy()
+    end = start + d.n_tokens.to_numpy()
+    rows = []
+    for i in range(len(d)):
+        for s in range(start[i] // L, (end[i] - 1) // L + 1):
+            s0, s1 = max(s * L, start[i]), min((s + 1) * L, end[i])
+            rows.append((d.doc_id[i], s, s0 - s * L, s0 - start[i], s1 - s0))
+    return pd.DataFrame(
+        rows,
+        columns=["doc_id", "seq_id", "seq_offset", "doc_offset", "n_tokens"],
+    )
+
+
+@pytest.mark.parametrize("L", [1, 64, 100_000])
+def test_pack_spans_matches_brute(ray_session, docs_df, L):
+    got = (
+        pack_spans(_ds(docs_df.drop(columns=["v"])), L)
+        .to_pandas()
+        .sort_values(["doc_id", "seq_id"])
+        .reset_index(drop=True)
+        .astype(np.int64)
+    )
+    exp = (
+        _brute_pack(docs_df, L)
+        .sort_values(["doc_id", "seq_id"])
+        .reset_index(drop=True)
+        .astype(np.int64)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # invariants: spans tile each doc and each window exactly
+    per_doc = got.groupby("doc_id")["n_tokens"].sum()
+    lens = docs_df.set_index("doc_id")["n_tokens"]
+    assert (per_doc == lens[lens > 0].loc[per_doc.index]).all()
+    full = got.groupby("seq_id")["n_tokens"].sum()
+    assert (full.iloc[:-1] == L).all()  # every window but the tail is full
+
+
+def test_pack_spans_long_doc_spans_many_windows(ray_session):
+    df = pd.DataFrame({"doc_id": [1, 2], "n_tokens": [10, 1000]})
+    got = (
+        pack_spans(_ds(df, 2), 64)
+        .to_pandas()
+        .sort_values(["doc_id", "seq_id"])
+        .reset_index(drop=True)
+        .astype(np.int64)
+    )
+    exp = _brute_pack(df, 64).astype(np.int64)
+    pd.testing.assert_frame_equal(got, exp)
+    assert (got[got.doc_id == 2].n_tokens.sum()) == 1000
+
+
+def test_pack_spans_drops_empty_docs(ray_session):
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "n_tokens": [0, 5, 0]})
+    got = pack_spans(_ds(df, 2), 8).to_pandas()
+    assert set(got.doc_id) == {2}
+    assert got.n_tokens.sum() == 5
+
+
+def test_row_number_duplicate_keys_guarded(ray_session):
+    # duplicate keys are only AMBIGUOUS when the sort splits a key run
+    # across blocks (first-key collision): then _block_offsets raises.
+    # If the sort keeps the run in one block the numbering is a valid
+    # dense permutation — accept either, never silent corruption.
+    df = pd.DataFrame({"doc_id": np.zeros(5_000, dtype=np.int64)})
+    try:
+        out = global_row_number(_ds(df, 8), ["doc_id"]).to_pandas()
+    except ValueError as e:
+        assert "unique" in str(e)
+        return
+    assert sorted(out["row_id"]) == list(range(5_000))
+
+
+def test_exact_quantiles(ray_session, docs_df):
+    qs = [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    out = exact_quantiles(_ds(docs_df), "v", qs, id_col="doc_id")
+    sv = np.sort(docs_df.v.to_numpy(), kind="stable")
+    n = len(docs_df)
+    for q, val in zip(out.q, out.value):
+        assert val == sv[int(np.floor(q * (n - 1)))]
