@@ -1558,11 +1558,13 @@ def all_queries() -> dict:
     # topk_paged, paged_scroll, quality, histogram — green every round
     # since r1), 4 textstats entries green in the r3+r4 driver files
     # (lang_id, fingerprint, approx_distinct, token_count_bpe), and
-    # events_window/events_hopping (green r3+r4).  The 3 global-order
-    # primitives added late in round 5 (row_number, pack_spans,
-    # quantiles) lead for the same reason; they push bm25_range /
-    # bm25_box / mass_eval (green r3+r4) past position 50.
+    # events_window/events_hopping (green r3+r4).  The 4 entries added
+    # late in round 5 (ngram_counts + the global-order primitives
+    # row_number / pack_spans / quantiles) lead for the same reason;
+    # they push bm25_fuzzy / bm25_range / bm25_box / mass_eval (green
+    # r3+r4) past position 50.
     return {
+        "ngram_counts": q_ngram_counts,
         "row_number": q_row_number,
         "pack_spans": q_pack_spans,
         "quantiles": q_quantiles,
@@ -1641,7 +1643,7 @@ def all_oracle_sql() -> dict:
     # and mass_eval recomputes the search cascade per eval query.
     sql = {**SEARCH_SQL, **EXTRA_SQL, **DEDUP_SQL, **TEXTSTATS_SQL,
            **MASS_EVAL_SQL, **FUZZY_RANGE_SQL, **WINDOW_SQL,
-           **CLEANING_SQL, **PACKING_SQL}
+           **CLEANING_SQL, **PACKING_SQL, **NGRAM_SQL}
     sql["ann_lsh"] = EXTRA_SQL["ann_topk"]  # full probe ≡ brute force
     sql["ann_ivf"] = EXTRA_SQL["ann_topk"]  # nprobe=n_clusters ≡ brute force
     return sql
@@ -2129,4 +2131,45 @@ qs(q) AS (VALUES {", ".join(f"({q})" for q in QUANTILE_QS)})
 SELECT q::DOUBLE AS q, value FROM qs CROSS JOIN n
 JOIN r ON r.rk = CAST(floor(q::DOUBLE * (cnt - 1)) AS BIGINT)
 ORDER BY q""",
+}
+
+
+# ---------------------------------------------------------------------------
+# corpus n-gram statistics (textstats.ngram_counts)
+# ---------------------------------------------------------------------------
+
+NGRAM_N = 2
+NGRAM_MIN = 3
+
+
+def q_ngram_counts(sf_dir):
+    """Corpus bigram frequencies >= NGRAM_MIN (KenLM-style corpus
+    stats): per-batch combiner partials, ONE groupby(ngram) exchange."""
+    from .pipelines.textstats import ngram_counts
+
+    out = ngram_counts(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        n=NGRAM_N, min_count=NGRAM_MIN,
+    ).to_pandas()
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out.sort_values(["cnt", "ngram"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
+NGRAM_SQL = {
+    # same [^a-z0-9]+ token convention as tok2; bigrams via 1-based
+    # list indexing (range is end-exclusive)
+    "ngram_counts": f"""WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS a
+  FROM documents),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(a)),
+                               i -> a[i] || ' ' || a[i+{NGRAM_N - 1}]))
+         AS ngram
+  FROM arr)
+SELECT ngram, count(*)::BIGINT AS cnt FROM bg
+GROUP BY ngram HAVING count(*) >= {NGRAM_MIN}
+ORDER BY cnt DESC, ngram""",
 }

@@ -466,3 +466,65 @@ def top_tokens(ds, k: int = 30, capacity: int = 100_000,
     agg = agg.rename(columns={"sum(cnt)": "cnt"})
     agg["rank"] = np.arange(1, len(agg) + 1, dtype=np.int64)
     return agg[["rank", "term", "cnt"]]
+
+
+def ngram_counts(ds, n: int = 2, text_col: str = "text",
+                 min_count: int = 1):
+    """Corpus n-gram frequency counts (the KenLM / corpus-statistics
+    shape): tokenize (same ``[^a-z0-9]+`` convention as
+    :func:`token_stats`), form every run of ``n`` consecutive tokens
+    within a document, and count occurrences corpus-wide.
+
+    Scale shape: each batch tokenizes and pre-aggregates its own
+    (ngram, count) partials with an Arrow ``group_by`` (the combiner),
+    so the ONE ``groupby(ngram)`` exchange ships at most
+    vocab-per-batch rows, never token-cardinality rows.  N-gram
+    assembly is a single ``binary_join_element_wise`` over n shifted
+    slices of the flattened token array — no Python loop over tokens.
+    """
+    from ray.data.aggregate import Sum
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+
+    def partial(t: pa.Table) -> pa.Table:
+        lst = pc.split_pattern_regex(
+            pc.utf8_lower(t[text_col].combine_chunks()), pattern="[^a-z0-9]+"
+        )
+        flat = pc.list_flatten(lst)
+        parent = pc.list_parent_indices(lst)
+        mask = pc.not_equal(flat, "")
+        flat = flat.filter(mask)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parent = parent.filter(mask).to_numpy()
+        L = len(flat)
+        empty = pa.table({"ngram": pa.array([], pa.string()),
+                          "p_cnt": pa.array([], pa.int64())})
+        if L < n:
+            return empty
+        m = L - n + 1
+        parts = [flat.slice(i, m) for i in range(n)]
+        grams = pc.binary_join_element_wise(*parts, " ")
+        # a run is valid only when all n tokens share a document
+        valid = parent[: m] == parent[n - 1:]
+        grams = grams.filter(pa.array(valid))
+        if len(grams) == 0:
+            return empty
+        g = (pa.table({"ngram": grams})
+             .group_by(["ngram"], use_threads=False)
+             .aggregate([("ngram", "count")]))
+        return pa.table({"ngram": g["ngram"],
+                         "p_cnt": pc.cast(g["ngram_count"], pa.int64())})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ngram")
+        .aggregate(Sum("p_cnt", alias_name="cnt"))
+    )
+    if min_count > 1:
+        counts = counts.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["cnt"], min_count)),
+            batch_format="pyarrow",
+        )
+    return counts

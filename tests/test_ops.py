@@ -740,3 +740,37 @@ def test_drop_near_duplicates_keeps_representatives(ray_session):
     assert 50 in set(kept["doc_id"])
     assert not {51, 52} & set(kept["doc_id"])
     assert set(range(40)) <= set(kept["doc_id"])
+
+
+def test_ngram_counts_matches_brute(ray_session):
+    import itertools
+    import re
+    from collections import Counter
+
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.textstats import ngram_counts
+
+    texts = [
+        "the cat sat on the cat mat",
+        "cat sat",
+        "one",
+        "",
+        "Mixed-CASE tokens, with punctuation! the cat",
+    ]
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    ).repartition(3)
+
+    for n in (1, 2, 3):
+        brute = Counter()
+        for t in texts:
+            toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+            for i in range(len(toks) - n + 1):
+                brute[" ".join(toks[i : i + n])] += 1
+        got = ngram_counts(ds, n=n).to_pandas()
+        assert dict(zip(got.ngram, got.cnt)) == dict(brute), n
+
+    # min_count threshold
+    got = ngram_counts(ds, n=2, min_count=2).to_pandas()
+    assert set(got.ngram) == {"the cat", "cat sat"}
