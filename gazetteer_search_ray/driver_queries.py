@@ -1558,12 +1558,13 @@ def all_queries() -> dict:
     # topk_paged, paged_scroll, quality, histogram — green every round
     # since r1), 4 textstats entries green in the r3+r4 driver files
     # (lang_id, fingerprint, approx_distinct, token_count_bpe), and
-    # events_window/events_hopping (green r3+r4).  The 4 entries added
-    # late in round 5 (ngram_counts + the global-order primitives
-    # row_number / pack_spans / quantiles) lead for the same reason;
-    # they push bm25_fuzzy / bm25_range / bm25_box / mass_eval (green
-    # r3+r4) past position 50.
+    # events_window/events_hopping (green r3+r4).  The 5 entries added
+    # late in round 5 (dup_spans, ngram_counts + the global-order
+    # primitives row_number / pack_spans / quantiles) lead for the same
+    # reason; they push stratified_sample / bm25_fuzzy / bm25_range /
+    # bm25_box / mass_eval (green r3+r4) past position 50.
     return {
+        "dup_spans": q_dup_spans,
         "ngram_counts": q_ngram_counts,
         "row_number": q_row_number,
         "pack_spans": q_pack_spans,
@@ -1643,7 +1644,7 @@ def all_oracle_sql() -> dict:
     # and mass_eval recomputes the search cascade per eval query.
     sql = {**SEARCH_SQL, **EXTRA_SQL, **DEDUP_SQL, **TEXTSTATS_SQL,
            **MASS_EVAL_SQL, **FUZZY_RANGE_SQL, **WINDOW_SQL,
-           **CLEANING_SQL, **PACKING_SQL, **NGRAM_SQL}
+           **CLEANING_SQL, **PACKING_SQL, **NGRAM_SQL, **DUP_SPANS_SQL}
     sql["ann_lsh"] = EXTRA_SQL["ann_topk"]  # full probe ≡ brute force
     sql["ann_ivf"] = EXTRA_SQL["ann_topk"]  # nprobe=n_clusters ≡ brute force
     return sql
@@ -2172,4 +2173,49 @@ bg AS (
 SELECT ngram, count(*)::BIGINT AS cnt FROM bg
 GROUP BY ngram HAVING count(*) >= {NGRAM_MIN}
 ORDER BY cnt DESC, ngram""",
+}
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-span report (dedup.dup_spans)
+# ---------------------------------------------------------------------------
+
+SPAN_W = 8
+SPAN_MIN = 3
+
+
+def q_dup_spans(sf_dir):
+    """Span-level exact-substring dedup report: every 8-token window
+    occurring >= 3 times corpus-wide, with its (doc, token position)."""
+    from .pipelines.dedup import dup_spans
+
+    out = dup_spans(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        w=SPAN_W, min_count=SPAN_MIN,
+    ).to_pandas()
+    for c in ("doc_id", "pos"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+
+
+DUP_SPANS_SQL = {
+    # dual unnest aligns positionally in DuckDB; list slice a[i:j] is
+    # 1-based inclusive, pos emitted 0-based to match the Ray kernel
+    "dup_spans": f"""WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS a
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(a)-{SPAN_W}+2),
+                               i -> array_to_string(a[i:i+{SPAN_W}-1], ' ')))
+           AS ngram,
+         unnest(range(1, len(a)-{SPAN_W}+2)) AS pos
+  FROM arr),
+freq AS (SELECT ngram FROM g GROUP BY ngram
+         HAVING count(*) >= {SPAN_MIN})
+SELECT doc_id, (pos - 1)::BIGINT AS pos, ngram
+FROM g JOIN freq USING (ngram)
+ORDER BY doc_id, pos""",
 }

@@ -28,6 +28,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 _FNV = np.uint64(1099511628211)
@@ -1018,3 +1019,78 @@ def drop_near_duplicates(ds, threshold: float = 0.5, num_perm: int = 64,
         return t.filter(pa.array(v[pos] != ids))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def dup_spans(ds, w: int = 8, min_count: int = 2,
+              text_col: str = "text", id_col: str = "doc_id"):
+    """Exact duplicated-span report — the span-level exact-substring
+    dedup shape ("Deduplicating Training Data Makes Language Models
+    Better", Lee et al. 2021): every w-token window whose exact token
+    sequence occurs at least ``min_count`` times corpus-wide, reported
+    with each (document, token position) it occupies.
+
+    Two passes, both redundancy-bounded (the ``remove_boilerplate``
+    shape):
+
+    1. frequent windows via :func:`~gazetteer_search_ray.pipelines.\
+textstats.ngram_counts` at n=w — per-batch combiner partials, ONE
+       ``groupby(ngram)`` exchange; the surviving set is bounded by
+       corpus redundancy and broadcast once (``ray.put``);
+    2. a streaming membership pass recomputes each batch's windows
+       WITH positions (token index within the doc, vectorized from the
+       flattened parent array) and keeps members via ``pc.is_in``.
+
+    Returns a Dataset of ``(id_col, pos, ngram)`` rows.
+    """
+    import ray
+
+    from .textstats import ngram_counts
+
+    freq = ngram_counts(ds, n=w, text_col=text_col,
+                        min_count=min_count).to_pandas()
+    freq_ref = ray.put(pa.array(freq["ngram"].to_numpy(), pa.string()))
+
+    class Members:
+        def __init__(self):
+            self.freq: pa.Array = ray.get(freq_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            id_type = t.schema.field(id_col).type
+            schema = pa.schema([pa.field(id_col, id_type),
+                                pa.field("pos", pa.int64()),
+                                pa.field("ngram", pa.string())])
+            lst = pc.split_pattern_regex(
+                pc.utf8_lower(t[text_col].combine_chunks()),
+                pattern="[^a-z0-9]+")
+            flat = pc.list_flatten(lst)
+            parent = pc.list_parent_indices(lst)
+            mask = pc.not_equal(flat, "")
+            flat = flat.filter(mask)
+            if isinstance(flat, pa.ChunkedArray):
+                flat = flat.combine_chunks()
+            parent = parent.filter(mask).to_numpy()
+            L = len(flat)
+            if L < w:
+                return schema.empty_table()
+            m = L - w + 1
+            grams = pc.binary_join_element_wise(
+                *[flat.slice(i, m) for i in range(w)], " ")
+            valid = parent[:m] == parent[w - 1:]
+            # token position within each doc: parent is nondecreasing,
+            # subtract each run's first flat index
+            uniq, first = np.unique(parent, return_index=True)
+            pos = np.arange(L, dtype=np.int64)[:m] - first[
+                np.searchsorted(uniq, parent[:m])]
+            member = pc.is_in(grams, value_set=self.freq).to_numpy(
+                zero_copy_only=False)
+            keep = valid & member
+            rows = np.flatnonzero(keep)
+            if rows.size == 0:
+                return schema.empty_table()
+            docs = t[id_col].combine_chunks().take(
+                pa.array(parent[rows]))
+            return pa.table(
+                [docs, pa.array(pos[rows]),
+                 grams.take(pa.array(rows))], schema=schema)
+
+    return ds.map_batches(Members, batch_format="pyarrow", concurrency=2)

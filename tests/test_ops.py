@@ -774,3 +774,40 @@ def test_ngram_counts_matches_brute(ray_session):
     # min_count threshold
     got = ngram_counts(ds, n=2, min_count=2).to_pandas()
     assert set(got.ngram) == {"the cat", "cat sat"}
+
+
+def test_dup_spans_matches_brute(ray_session):
+    import re
+    from collections import Counter
+
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.dedup import dup_spans
+
+    texts = ["a b c d a b c d x", "b c d a b", "z z z", "a b c d q", ""]
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    ).repartition(3)
+    W, MIN = 3, 2
+    cnt: Counter = Counter()
+    spans = []
+    for i, t in enumerate(texts):
+        toks = [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+        for p in range(len(toks) - W + 1):
+            g = " ".join(toks[p : p + W])
+            cnt[g] += 1
+            spans.append((i, p, g))
+    freq = {g for g, c in cnt.items() if c >= MIN}
+    exp = sorted(s for s in spans if s[2] in freq)
+    got = dup_spans(ds, w=W, min_count=MIN).to_pandas()
+    assert sorted(
+        (int(a), int(b), c)
+        for a, b, c in got[["doc_id", "pos", "ngram"]].to_numpy()
+    ) == exp
+    # within-doc repetition counts toward min_count ("a b c"/"b c d"
+    # twice in doc 0); "z z z" occurs once corpus-wide -> excluded
+    assert "z z z" not in set(got.ngram)
+    assert {(0, 0), (0, 4)} <= {
+        (int(r.doc_id), int(r.pos))
+        for r in got.itertuples() if r.ngram == "a b c"
+    }
