@@ -1562,8 +1562,10 @@ def all_queries() -> dict:
     # late in round 5 (dup_spans, ngram_counts + the global-order
     # primitives row_number / pack_spans / quantiles) lead for the same
     # reason; they push stratified_sample / bm25_fuzzy / bm25_range /
-    # bm25_box / mass_eval (green r3+r4) past position 50.
+    # bm25_box / mass_eval (green r3+r4) past position 50, and
+    # events_scan (newest) pushes one more (sample_hash, green r3+r4).
     return {
+        "events_scan": q_events_scan,
         "dup_spans": q_dup_spans,
         "ngram_counts": q_ngram_counts,
         "row_number": q_row_number,
@@ -1644,7 +1646,8 @@ def all_oracle_sql() -> dict:
     # and mass_eval recomputes the search cascade per eval query.
     sql = {**SEARCH_SQL, **EXTRA_SQL, **DEDUP_SQL, **TEXTSTATS_SQL,
            **MASS_EVAL_SQL, **FUZZY_RANGE_SQL, **WINDOW_SQL,
-           **CLEANING_SQL, **PACKING_SQL, **NGRAM_SQL, **DUP_SPANS_SQL}
+           **CLEANING_SQL, **PACKING_SQL, **NGRAM_SQL, **DUP_SPANS_SQL,
+           **SCAN_SQL}
     sql["ann_lsh"] = EXTRA_SQL["ann_topk"]  # full probe ≡ brute force
     sql["ann_ivf"] = EXTRA_SQL["ann_topk"]  # nprobe=n_clusters ≡ brute force
     return sql
@@ -2218,4 +2221,60 @@ freq AS (SELECT ngram FROM g GROUP BY ngram
 SELECT doc_id, (pos - 1)::BIGINT AS pos, ngram
 FROM g JOIN freq USING (ngram)
 ORDER BY doc_id, pos""",
+}
+
+
+# ---------------------------------------------------------------------------
+# per-key ordered window functions (packing.keyed_scan)
+# ---------------------------------------------------------------------------
+
+
+def q_events_scan(sf_dir):
+    """Per-user ordered window functions over the event log in ONE
+    sort exchange (`packing.keyed_scan` segmented scan): 1-based rank,
+    microsecond gap to the user's previous event, and running spend in
+    cents — `row_number()/lag()/sum() OVER (PARTITION BY user_id ORDER
+    BY ts, event_id)`.  All-integer outputs (cents via `rint(value *
+    100)`; the synthetic money column is 2-decimal so both legs are
+    exact)."""
+    import ray.data as rd
+
+    from .pipelines.packing import keyed_scan
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        cents = np.rint(t["value"].to_numpy() * 100).astype(np.int64)
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_id": t["event_id"],
+            "cents": pa.array(cents),
+        })
+
+    out = keyed_scan(
+        ds.map_batches(project, batch_format="pyarrow"),
+        "user_id", "ts_us", "event_id", "cents",
+    ).to_pandas()
+    out = out.rename(columns={"delta": "delta_us", "cum": "cum_cents"})
+    for c in ("event_id", "user_id", "seq", "cum_cents"):
+        out[c] = out[c].astype(np.int64)
+    out["delta_us"] = out["delta_us"].astype(np.float64)
+    return out.sort_values("event_id").reset_index(drop=True)[
+        ["event_id", "user_id", "seq", "delta_us", "cum_cents"]]
+
+
+SCAN_SQL = {
+    "events_scan": """SELECT event_id, user_id,
+  row_number() OVER w AS seq,
+  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS delta_us,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id""",
 }

@@ -134,3 +134,61 @@ def test_exact_quantiles(ray_session, docs_df):
     n = len(docs_df)
     for q, val in zip(out.q, out.value):
         assert val == sv[int(np.floor(q * (n - 1)))]
+
+
+def _brute_scan(df: pd.DataFrame) -> pd.DataFrame:
+    g = df.sort_values(["k", "ts", "i"], kind="mergesort").groupby("k")
+    out = df.sort_values(["k", "ts", "i"], kind="mergesort").copy()
+    out["seq"] = g.cumcount() + 1
+    out["delta"] = out["ts"] - g["ts"].shift()
+    out["cum"] = g["v"].cumsum()
+    return out
+
+
+@pytest.mark.parametrize("nparts", [1, 7, 40])
+def test_keyed_scan_matches_brute(ray_session, nparts):
+    from gazetteer_search_ray.pipelines.packing import keyed_scan
+
+    rng = np.random.default_rng(23)
+    n = 3_000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 37, n).astype(np.int64),   # long runs cross blocks
+        "ts": rng.integers(0, 10_000, n).astype(np.int64),
+        "i": rng.permutation(n).astype(np.int64),
+        "v": rng.integers(-5, 50, n).astype(np.int64),
+    })
+    got = (
+        keyed_scan(_ds(df, nparts), "k", "ts", "i", "v")
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    want = _brute_scan(df).sort_values("i").reset_index(drop=True)
+    assert (got["seq"].to_numpy() == want["seq"].to_numpy()).all()
+    assert (got["cum"].to_numpy() == want["cum"].to_numpy()).all()
+    gd, wd = got["delta"], want["delta"]
+    assert (gd.isna().to_numpy() == wd.isna().to_numpy()).all()
+    m = ~wd.isna().to_numpy()
+    assert (gd.to_numpy()[m] == wd.to_numpy()[m]).all()
+
+
+def test_keyed_scan_single_key_many_blocks(ray_session):
+    """One key spanning every block: the carry chain must thread
+    through all O(#blocks) summaries."""
+    from gazetteer_search_ray.pipelines.packing import keyed_scan
+
+    n = 500
+    df = pd.DataFrame({
+        "k": np.zeros(n, dtype=np.int64),
+        "ts": np.arange(n, dtype=np.int64) * 3,
+        "i": np.arange(n, dtype=np.int64),
+        "v": np.ones(n, dtype=np.int64),
+    })
+    got = (
+        keyed_scan(_ds(df, 20), "k", "ts", "i", "v")
+        .to_pandas().sort_values("i").reset_index(drop=True)
+    )
+    assert (got["seq"].to_numpy() == np.arange(1, n + 1)).all()
+    assert (got["cum"].to_numpy() == np.arange(1, n + 1)).all()
+    assert got["delta"].isna().sum() == 1
+    assert (got["delta"].to_numpy()[1:] == 3).all()
