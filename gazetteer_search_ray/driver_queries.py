@@ -1566,6 +1566,7 @@ def all_queries() -> dict:
     # events_scan (newest) pushes one more (sample_hash, green r3+r4).
     return {
         "events_scan": q_events_scan,
+        "lm_score": q_lm_score,
         "dup_spans": q_dup_spans,
         "ngram_counts": q_ngram_counts,
         "row_number": q_row_number,
@@ -1647,7 +1648,7 @@ def all_oracle_sql() -> dict:
     sql = {**SEARCH_SQL, **EXTRA_SQL, **DEDUP_SQL, **TEXTSTATS_SQL,
            **MASS_EVAL_SQL, **FUZZY_RANGE_SQL, **WINDOW_SQL,
            **CLEANING_SQL, **PACKING_SQL, **NGRAM_SQL, **DUP_SPANS_SQL,
-           **SCAN_SQL}
+           **SCAN_SQL, **LM_SQL}
     sql["ann_lsh"] = EXTRA_SQL["ann_topk"]  # full probe ≡ brute force
     sql["ann_ivf"] = EXTRA_SQL["ann_topk"]  # nprobe=n_clusters ≡ brute force
     return sql
@@ -2277,4 +2278,56 @@ SCAN_SQL = {
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY event_id""",
+}
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM quality scoring (textstats.lm_score)
+# ---------------------------------------------------------------------------
+
+LM_MIN = 3
+
+
+def q_lm_score(sf_dir):
+    """Bigram-LM quality score per document (CCNet/KenLM filter
+    shape): mean ln-conditional-probability over corpus bigrams with
+    count >= LM_MIN, plus the scored-position count."""
+    from .pipelines.textstats import lm_score
+
+    out = lm_score(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        min_count=LM_MIN,
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_known"] = out["n_known"].astype(np.int64)
+    out["lp"] = np.round(out["lp"].astype(np.float64), 6)
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "n_known", "lp"]]
+
+
+LM_SQL = {
+    "lm_score": f"""WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS a
+  FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(a)), i -> a[i])) AS w1,
+         unnest(list_transform(range(1, len(a)),
+                               i -> a[i] || ' ' || a[i+1])) AS ngram
+  FROM arr),
+c2 AS (SELECT ngram, count(*) AS c FROM bg
+       GROUP BY ngram HAVING count(*) >= {LM_MIN}),
+tok AS (SELECT unnest(a) AS w FROM arr),
+c1 AS (SELECT w, count(*) AS c FROM tok
+       GROUP BY w HAVING count(*) >= {LM_MIN}),
+sc AS (
+  SELECT bg.doc_id, ln(c2.c) - ln(c1.c) AS lp
+  FROM bg JOIN c2 USING (ngram) JOIN c1 ON c1.w = bg.w1)
+SELECT d.doc_id, count(sc.lp)::BIGINT AS n_known,
+       round(avg(sc.lp), 6) AS lp
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+GROUP BY d.doc_id
+ORDER BY d.doc_id""",
 }

@@ -10,6 +10,7 @@ stopword tables and compiled regexes live in actor ``__init__``.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -528,3 +529,91 @@ def ngram_counts(ds, n: int = 2, text_col: str = "text",
             batch_format="pyarrow",
         )
     return counts
+
+
+def lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
+             min_count: int = 2):
+    """Bigram language-model document scoring — the CCNet/KenLM
+    quality-filter shape: build corpus bigram/unigram counts, then
+    score every document by its average conditional log-probability
+    ``mean(ln c(w1 w2) − ln c(w1))`` over bigrams whose count survives
+    ``min_count`` pruning.  Returns ``(id_col, n_known, lp)`` rows for
+    EVERY document (``n_known`` = scored bigram positions; ``lp`` null
+    when none).
+
+    Scale shape: the LM build is two :func:`ngram_counts` passes
+    (per-batch Arrow combiner partials, ONE groupby exchange each);
+    the pruned tables are vocab-bounded — ``min_count`` caps them at
+    corpus_tokens/min_count entries — so they gather to the driver,
+    the per-bigram log-ratio is precomputed ONCE there (a bigram that
+    survives pruning implies its first unigram did: c1 ≥ c2), and the
+    (bigram → lp) table broadcasts via ``ray.put`` into a stateless
+    scoring ``map_batches`` pass: vectorized hash-table lookup
+    (``pd.Index.get_indexer``) + ``np.bincount`` per-doc reduction.
+    No per-row Python in the hot path; the reference's closest analog
+    is the static-prior score hook (``imp/es/IndexHolder.java``).
+    """
+    import ray
+
+    big = ngram_counts(ds, n=2, text_col=text_col,
+                       min_count=min_count).to_pandas()
+    uni = ngram_counts(ds, n=1, text_col=text_col,
+                       min_count=min_count).to_pandas()
+    c1 = pd.Series(uni["cnt"].to_numpy(np.float64),
+                   index=pd.Index(uni["ngram"]))
+    w1 = big["ngram"].str.partition(" ")[0]
+    lp = np.log(big["cnt"].to_numpy(np.float64)) - np.log(
+        c1.reindex(w1).to_numpy())
+    ref = ray.put((pd.Index(big["ngram"]), lp))
+
+    class Score:
+        def __init__(self):
+            self.idx, self.lp = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            nrows = t.num_rows
+            schema = pa.schema([
+                pa.field(id_col, pa.int64()),
+                pa.field("n_known", pa.int64()),
+                pa.field("lp", pa.float64()),
+            ])
+            if nrows == 0:
+                return schema.empty_table()
+            lst = pc.split_pattern_regex(
+                pc.utf8_lower(t[text_col].combine_chunks()),
+                pattern="[^a-z0-9]+")
+            flat = pc.list_flatten(lst)
+            parent = pc.list_parent_indices(lst)
+            mask = pc.not_equal(flat, "")
+            flat = flat.filter(mask)
+            if isinstance(flat, pa.ChunkedArray):
+                flat = flat.combine_chunks()
+            parent = parent.filter(mask).to_numpy()
+            L = len(flat)
+            n_known = np.zeros(nrows, np.int64)
+            lpsum = np.zeros(nrows, np.float64)
+            if L >= 2:
+                m = L - 1
+                grams = pc.binary_join_element_wise(
+                    flat.slice(0, m), flat.slice(1, m), " ")
+                valid = parent[:m] == parent[1:]
+                grams = grams.filter(pa.array(valid))
+                gparent = parent[:m][valid]
+                pos = self.idx.get_indexer(grams.to_pandas())
+                known = pos >= 0
+                n_known = np.bincount(gparent[known],
+                                      minlength=nrows).astype(np.int64)
+                lpsum = np.bincount(gparent[known],
+                                    weights=self.lp[pos[known]],
+                                    minlength=nrows)
+            has = n_known > 0
+            avg = np.divide(lpsum, n_known, out=np.zeros(nrows),
+                            where=has)
+            return pa.table([
+                t[id_col], pa.array(n_known),
+                pa.array(avg, mask=~has),
+            ], schema=schema)
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        Score, batch_format="pyarrow", concurrency=2
+    )

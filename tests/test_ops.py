@@ -811,3 +811,53 @@ def test_dup_spans_matches_brute(ray_session):
         (int(r.doc_id), int(r.pos))
         for r in got.itertuples() if r.ngram == "a b c"
     }
+
+
+def test_lm_score_matches_brute(ray_session):
+    import math
+    import re
+    from collections import Counter
+
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.textstats import lm_score
+
+    texts = [
+        "the cat sat on the mat the cat sat again",
+        "the cat sat",
+        "the dog ran",
+        "zz unique tokens only here",
+        "",
+        "the cat",
+    ]
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    ).repartition(3)
+
+    def toks(t):
+        return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+    c1, c2 = Counter(), Counter()
+    for t in texts:
+        ws = toks(t)
+        c1.update(ws)
+        c2.update(" ".join(p) for p in zip(ws, ws[1:]))
+    min_count = 2
+    keep = {g: c for g, c in c2.items() if c >= min_count}
+
+    want = {}
+    for i, t in enumerate(texts):
+        ws = toks(t)
+        lps = [math.log(keep[g]) - math.log(c1[g.split(" ")[0]])
+               for g in (" ".join(p) for p in zip(ws, ws[1:])) if g in keep]
+        want[i] = (len(lps), sum(lps) / len(lps) if lps else None)
+
+    got = lm_score(ds, min_count=min_count).to_pandas()
+    assert len(got) == len(texts)
+    for _, r in got.iterrows():
+        n, lp = want[int(r.doc_id)]
+        assert int(r.n_known) == n, r.doc_id
+        if n == 0:
+            assert pd.isna(r.lp)
+        else:
+            assert abs(r.lp - lp) < 1e-12, r.doc_id
