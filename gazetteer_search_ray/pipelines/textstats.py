@@ -541,34 +541,73 @@ def lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
     EVERY document (``n_known`` = scored bigram positions; ``lp`` null
     when none).
 
-    Scale shape: the LM build is two :func:`ngram_counts` passes
-    (per-batch Arrow combiner partials, ONE groupby exchange each);
-    the pruned tables are vocab-bounded — ``min_count`` caps them at
-    corpus_tokens/min_count entries — so they gather to the driver,
-    the per-bigram log-ratio is precomputed ONCE there (a bigram that
-    survives pruning implies its first unigram did: c1 ≥ c2), and the
-    (bigram → lp) table broadcasts via ``ray.put`` into a stateless
-    scoring ``map_batches`` pass: vectorized hash-table lookup
-    (``pd.Index.get_indexer``) + ``np.bincount`` per-doc reduction.
-    No per-row Python in the hot path; the reference's closest analog
-    is the static-prior score hook (``imp/es/IndexHolder.java``).
+    Scale shape: the LM build is ONE fused counting pass — each batch
+    tokenizes once and emits its unigram AND bigram combiner partials
+    into the same key space (tokens cannot contain spaces, so the two
+    populations stay distinct through one ``groupby(ngram)`` exchange
+    instead of two full passes).  The pruned tables are vocab-bounded
+    — ``min_count`` caps them at corpus_tokens/min_count entries — so
+    they gather to the driver, the per-bigram log-ratio is precomputed
+    ONCE there (a bigram that survives pruning implies its first
+    unigram did: c1 ≥ c2), and the (bigram → lp) table broadcasts via
+    ``ray.put`` into a stateless scoring ``map_batches`` pass:
+    vectorized Arrow hash-table lookup (``pc.index_in`` — no Python
+    string objects in the hot path) + ``np.bincount`` per-doc
+    reduction.  No per-row Python in the hot
+    path; the reference's closest analog is the static-prior score
+    hook (``imp/es/IndexHolder.java``).
     """
     import ray
+    from ray.data.aggregate import Sum
 
-    big = ngram_counts(ds, n=2, text_col=text_col,
-                       min_count=min_count).to_pandas()
-    uni = ngram_counts(ds, n=1, text_col=text_col,
-                       min_count=min_count).to_pandas()
+    def both_partials(t: pa.Table) -> pa.Table:
+        # one tokenize, two combiner aggregations (unigram + bigram)
+        lst = pc.split_pattern_regex(
+            pc.utf8_lower(t[text_col].combine_chunks()),
+            pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(lst)
+        parent = pc.list_parent_indices(lst)
+        mask = pc.not_equal(flat, "")
+        flat = flat.filter(mask)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parent = parent.filter(mask).to_numpy()
+        L = len(flat)
+        grams = [flat]
+        if L >= 2:
+            m = L - 1
+            bi = pc.binary_join_element_wise(
+                flat.slice(0, m), flat.slice(1, m), " ")
+            grams.append(bi.filter(pa.array(parent[:m] == parent[1:])))
+        g = (pa.table({"ngram": pa.concat_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                 else a for a in grams])})
+             .group_by(["ngram"], use_threads=False)
+             .aggregate([("ngram", "count")]))
+        return pa.table({"ngram": g["ngram"],
+                         "p_cnt": pc.cast(g["ngram_count"], pa.int64())})
+
+    counts = (
+        ds.map_batches(both_partials, batch_format="pyarrow")
+        .groupby("ngram")
+        .aggregate(Sum("p_cnt", alias_name="cnt"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["cnt"], min_count)),
+            batch_format="pyarrow")
+        .to_pandas()
+    )
+    is_bi = counts["ngram"].str.contains(" ", regex=False)
+    big, uni = counts[is_bi], counts[~is_bi]
     c1 = pd.Series(uni["cnt"].to_numpy(np.float64),
                    index=pd.Index(uni["ngram"]))
     w1 = big["ngram"].str.partition(" ")[0]
     lp = np.log(big["cnt"].to_numpy(np.float64)) - np.log(
         c1.reindex(w1).to_numpy())
-    ref = ray.put((pd.Index(big["ngram"]), lp))
+    ref = ray.put((pa.array(big["ngram"], pa.string()), lp))
 
     class Score:
         def __init__(self):
-            self.idx, self.lp = ray.get(ref)
+            self.vocab, self.lp = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
             nrows = t.num_rows
@@ -599,7 +638,9 @@ def lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
                 valid = parent[:m] == parent[1:]
                 grams = grams.filter(pa.array(valid))
                 gparent = parent[:m][valid]
-                pos = self.idx.get_indexer(grams.to_pandas())
+                pos = pc.fill_null(
+                    pc.index_in(grams, value_set=self.vocab), -1
+                ).to_numpy().astype(np.int64)
                 known = pos >= 0
                 n_known = np.bincount(gparent[known],
                                       minlength=nrows).astype(np.int64)
@@ -615,5 +656,5 @@ def lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
             ], schema=schema)
 
     return ds.select_columns([id_col, text_col]).map_batches(
-        Score, batch_format="pyarrow", concurrency=2
+        Score, batch_format="pyarrow", concurrency=(2, 16)
     )
