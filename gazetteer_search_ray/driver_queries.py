@@ -1563,8 +1563,12 @@ def all_queries() -> dict:
     # primitives row_number / pack_spans / quantiles) lead for the same
     # reason; they push stratified_sample / bm25_fuzzy / bm25_range /
     # bm25_box / mass_eval (green r3+r4) past position 50, and
-    # events_scan (newest) pushes one more (sample_hash, green r3+r4).
+    # events_scan (newest) pushes one more (sample_hash, green r3+r4),
+    # and the equi-join pair (join_enrich/join_left, newest of all)
+    # pushes dedup_minhash/dedup_simhash (green every round since r1).
     return {
+        "join_enrich": q_join_enrich,
+        "join_left": q_join_left,
         "events_scan": q_events_scan,
         "lm_score": q_lm_score,
         "dup_spans": q_dup_spans,
@@ -1648,7 +1652,7 @@ def all_oracle_sql() -> dict:
     sql = {**SEARCH_SQL, **EXTRA_SQL, **DEDUP_SQL, **TEXTSTATS_SQL,
            **MASS_EVAL_SQL, **FUZZY_RANGE_SQL, **WINDOW_SQL,
            **CLEANING_SQL, **PACKING_SQL, **NGRAM_SQL, **DUP_SPANS_SQL,
-           **SCAN_SQL, **LM_SQL}
+           **SCAN_SQL, **LM_SQL, **JOIN_SQL}
     sql["ann_lsh"] = EXTRA_SQL["ann_topk"]  # full probe ≡ brute force
     sql["ann_ivf"] = EXTRA_SQL["ann_topk"]  # nprobe=n_clusters ≡ brute force
     return sql
@@ -2330,4 +2334,82 @@ SELECT d.doc_id, count(sc.lp)::BIGINT AS n_known,
 FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
 GROUP BY d.doc_id
 ORDER BY d.doc_id""",
+}
+
+
+# ---------------------------------------------------------------------------
+# general equi-join (relational.equi_join)
+# ---------------------------------------------------------------------------
+
+JOIN_BAL = 5000.0  # acctbal cutoff so join_left produces real nulls
+
+
+def q_join_enrich(sf_dir):
+    """Large×large hash-shuffle equi-join: every order enriched with
+    its customer's name and market segment — `relational.equi_join`
+    forced onto the distributed `Dataset.join` path (ONE hash exchange
+    per side, no broadcast) to exercise the shape that holds when BOTH
+    sides exceed worker memory."""
+    import ray.data as rd
+
+    from .pipelines.relational import equi_join
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+    )
+    out = equi_join(orders, cust, "o_custkey", right_on="c_custkey",
+                    how="inner", strategy="shuffle").to_pandas()
+    for c in ("o_orderkey", "o_custkey"):
+        out[c] = out[c].astype(np.int64)
+    out["o_totalprice"] = out["o_totalprice"].astype(np.float64)
+    return out.sort_values("o_orderkey").reset_index(drop=True)[
+        ["o_orderkey", "o_custkey", "o_totalprice", "c_name",
+         "c_mktsegment"]]
+
+
+def q_join_left(sf_dir):
+    """Broadcast left-outer equi-join with real unmatched rows: orders
+    joined to only the high-balance customers (acctbal > JOIN_BAL), so
+    low-balance customers' orders carry nulls.  The right side filters
+    FIRST, gathers once, ships via `ray.put`, and each order batch
+    joins against it with Arrow's C++ hash join — the fact side never
+    shuffles."""
+    import ray.data as rd
+
+    from .pipelines.relational import equi_join
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    )
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_acctbal"],
+    ).filter(expr=f"c_acctbal > {JOIN_BAL}")
+    out = equi_join(orders, cust, "o_custkey", right_on="c_custkey",
+                    how="left_outer", strategy="broadcast").to_pandas()
+    for c in ("o_orderkey", "o_custkey"):
+        out[c] = out[c].astype(np.int64)
+    out["c_acctbal"] = out["c_acctbal"].astype(np.float64)
+    return out.sort_values("o_orderkey").reset_index(drop=True)[
+        ["o_orderkey", "o_custkey", "c_name", "c_acctbal"]]
+
+
+JOIN_SQL = {
+    "join_enrich": (
+        "SELECT o_orderkey, o_custkey, o_totalprice, c_name, "
+        "c_mktsegment FROM orders JOIN customer "
+        "ON o_custkey = c_custkey ORDER BY o_orderkey"
+    ),
+    "join_left": (
+        f"SELECT o_orderkey, o_custkey, c_name, c_acctbal "
+        f"FROM orders LEFT JOIN "
+        f"(SELECT * FROM customer WHERE c_acctbal > {JOIN_BAL}) c "
+        f"ON o_custkey = c_custkey ORDER BY o_orderkey"
+    ),
 }

@@ -31,6 +31,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .dedup import _join_partitions
+
 
 def distinct_first_by_key(ds, keys: list[str], order_col: str = "doc_id"):
     """One row (min order_col + group size) per distinct key tuple."""
@@ -471,6 +473,79 @@ def stratified_sample(ds, group_col: str, cap: int, id_col: str = "doc_id",
         .sort_values([group_col, id_col])
         .reset_index(drop=True)
     )
+
+
+def equi_join(left, right, on, right_on=None, how: str = "inner",
+              strategy: str = "auto", num_partitions: int | None = None,
+              broadcast_limit: int = 2_000_000,
+              left_suffix: str | None = None, right_suffix: str = "_r"):
+    """General equi-join of two Datasets — the reference's closest
+    analog is the ES terms-lookup enrichment (``imp/addr/
+    UpdateStreetsUsage.java:47-132`` joins streets to usage counts one
+    search per row); here it is ONE declared join with an explicit
+    distribution strategy:
+
+    * ``"broadcast"`` — the dimension-table shape: the right side
+      gathers once, ships via ``ray.put`` (read per ACTOR, not per
+      batch), and each batch joins against it with Arrow's C++ hash
+      join (``pa.Table.join``).  No shuffle of the left side at all —
+      the fact table streams through untouched.  Valid for
+      left-preserving joins (``inner / left_outer / left_semi /
+      left_anti``).
+    * ``"shuffle"`` — large×large: Ray Data's hash-shuffle
+      ``Dataset.join`` (one all-to-all exchange per side, one
+      aggregator actor per partition — see :func:`_join_partitions`
+      for why partitions track the session CPU count).
+    * ``"auto"`` (default) — broadcast when the join is
+      left-preserving and the right side has ≤ ``broadcast_limit``
+      rows, else shuffle.
+
+    Null join keys never match (SQL semantics — verified for both
+    paths in ``test_equi_join_*``); duplicate keys expand m×n.
+    Overlapping non-key column names take ``right_suffix`` /
+    ``left_suffix``.  Output row order is unspecified (both paths are
+    streaming/parallel).
+    """
+    import ray
+
+    on = (on,) if isinstance(on, str) else tuple(on)
+    ron = on if right_on is None else (
+        (right_on,) if isinstance(right_on, str) else tuple(right_on))
+    arrow_how = {"inner": "inner", "left_outer": "left outer",
+                 "left_semi": "left semi", "left_anti": "left anti"}
+    if strategy == "auto":
+        strategy = ("broadcast" if how in arrow_how
+                    and right.count() <= broadcast_limit else "shuffle")
+    if strategy == "broadcast":
+        if how not in arrow_how:
+            raise ValueError(
+                f"broadcast strategy cannot preserve unmatched right "
+                f"rows for join type {how!r}; use strategy='shuffle'")
+        parts = [p for p in ray.get(right.to_arrow_refs())
+                 if p.num_rows]
+        rt = (pa.concat_tables(parts) if parts
+              else pa.Table.from_pylist(
+                  [], schema=right.schema().base_schema))
+        ref = ray.put(rt.combine_chunks())
+
+        class BroadcastJoin:
+            def __init__(self):
+                self.rt = ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                return t.join(
+                    self.rt, keys=list(on), right_keys=list(ron),
+                    join_type=arrow_how[how],
+                    left_suffix=left_suffix or "",
+                    right_suffix=right_suffix)
+
+        return left.map_batches(BroadcastJoin, batch_format="pyarrow",
+                                concurrency=(2, 16))
+    return left.join(
+        right, join_type=how,
+        num_partitions=_join_partitions(num_partitions),
+        on=on, right_on=ron,
+        left_suffix=left_suffix, right_suffix=right_suffix)
 
 
 def column_histogram(ds, col: str, bins: int, lo: float, hi: float):

@@ -861,3 +861,84 @@ def test_lm_score_matches_brute(ray_session):
             assert pd.isna(r.lp)
         else:
             assert abs(r.lp - lp) < 1e-12, r.doc_id
+
+
+def test_equi_join_matches_pandas(ray_session):
+    """Differential test of relational.equi_join vs pandas.merge across
+    join types × strategies, with duplicate keys (m×n expansion), keys
+    only on one side, and NULL keys (SQL semantics: never match)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.relational import equi_join
+
+    rng = np.random.default_rng(7)
+    ldf = pd.DataFrame({
+        "k": pd.array(
+            [None if x == 0 else int(x) for x in rng.integers(0, 40, 200)],
+            dtype="Int64"),
+        "a": np.arange(200, dtype=np.int64),
+    })
+    rdf = pd.DataFrame({
+        "k": pd.array(
+            [None if x == 0 else int(x) for x in rng.integers(20, 60, 80)],
+            dtype="Int64"),
+        "b": np.arange(80, dtype=np.int64) * 10,
+    })
+    L = rd.from_pandas(ldf).repartition(5)
+    R = rd.from_pandas(rdf).repartition(3)
+
+    def norm(df):
+        df = df.copy()
+        for c in df.columns:
+            df[c] = df[c].astype("Float64")
+        return df.sort_values(list(sorted(df.columns))).reset_index(drop=True)
+
+    # pandas merge matches NaN==NaN; drop null-key right rows to get
+    # SQL semantics on the expected side (left nulls survive via how=left)
+    r_nn = rdf[rdf["k"].notna()]
+    for how, pd_how in [("inner", "inner"), ("left_outer", "left")]:
+        exp = ldf.merge(r_nn, on="k", how=pd_how)
+        if how == "inner":
+            exp = exp[exp["k"].notna()]
+        for strat in ("broadcast", "shuffle"):
+            got = equi_join(L, R, "k", how=how, strategy=strat).to_pandas()
+            pd.testing.assert_frame_equal(norm(got), norm(exp)), (how, strat)
+
+    matched = ldf["k"].isin(set(r_nn["k"].dropna()))
+    for how, exp in [("left_semi", ldf[matched]), ("left_anti", ldf[~matched])]:
+        for strat in ("broadcast", "shuffle"):
+            got = equi_join(L, R, "k", how=how, strategy=strat).to_pandas()
+            pd.testing.assert_frame_equal(norm(got), norm(exp))
+
+    # full_outer is shuffle-only; broadcast must refuse it
+    exp = ldf.merge(r_nn, on="k", how="outer", indicator=False)
+    exp = pd.concat([exp[~(exp["k"].isna() & exp["a"].isna())],
+                     rdf[rdf["k"].isna()]], ignore_index=True)
+    got = equi_join(L, R, "k", how="full_outer", strategy="shuffle").to_pandas()
+    pd.testing.assert_frame_equal(norm(got), norm(exp))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        equi_join(L, R, "k", how="full_outer", strategy="broadcast")
+
+
+def test_equi_join_right_on_and_suffix(ray_session):
+    """Differing key names drop the right key; overlapping non-key
+    columns take the right suffix (both strategies agree)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.relational import equi_join
+
+    L = rd.from_pandas(pd.DataFrame({"ok": [1, 2, 3], "v": [1, 2, 3]}))
+    R = rd.from_pandas(pd.DataFrame({"ck": [2, 3, 4], "v": [20, 30, 40]}))
+    outs = {}
+    for strat in ("broadcast", "shuffle"):
+        got = equi_join(L, R, "ok", right_on="ck", how="inner",
+                        strategy=strat).to_pandas()
+        outs[strat] = got.sort_values("ok").reset_index(drop=True)
+        assert sorted(got.columns) == ["ok", "v", "v_r"]
+    pd.testing.assert_frame_equal(
+        outs["broadcast"][["ok", "v", "v_r"]],
+        outs["shuffle"][["ok", "v", "v_r"]], check_dtype=False)
