@@ -163,7 +163,8 @@ def run_bench() -> dict:
         for name in ["bm25_or", "dedup_exact", "dedup_minhash", "ann_topk",
                      "token_stats", "join_agg", "decontam", "top_tokens",
                      "events_attrib", "events_asof", "pii_scan",
-                     "boilerplate_drop", "pack_spans", "ngram_counts"]:
+                     "boilerplate_drop", "pack_spans", "ngram_counts",
+                     "events_scan", "join_enrich"]:
             t0 = time.monotonic()
             dq.all_queries()[name](SF_DIR)
             sf_timings[name] = round(time.monotonic() - t0, 3)
