@@ -1576,6 +1576,7 @@ def all_queries() -> dict:
         "row_number": q_row_number,
         "pack_spans": q_pack_spans,
         "quantiles": q_quantiles,
+        "quantiles_fast": q_quantiles_fast,
         "events_sessions": q_events_sessions,
         "events_asof": q_events_asof,
         "events_attrib": q_events_attrib,
@@ -1654,6 +1655,7 @@ def all_oracle_sql() -> dict:
            **CLEANING_SQL, **PACKING_SQL, **NGRAM_SQL, **DUP_SPANS_SQL,
            **SCAN_SQL, **LM_SQL, **JOIN_SQL}
     sql["ann_lsh"] = EXTRA_SQL["ann_topk"]  # full probe ≡ brute force
+    sql["quantiles_fast"] = PACKING_SQL["quantiles"]  # same rank arithmetic
     sql["ann_ivf"] = EXTRA_SQL["ann_topk"]  # nprobe=n_clusters ≡ brute force
     return sql
 
@@ -2094,6 +2096,23 @@ def q_quantiles(sf_dir):
 
     out = exact_quantiles(
         _docs(sf_dir).select_columns(["doc_id", "n_chars"]),
+        "n_chars", list(QUANTILE_QS),
+    )
+    out["q"] = out["q"].astype(np.float64)
+    out["value"] = out["value"].astype(np.int64)
+    return out.sort_values("q").reset_index(drop=True)
+
+
+def q_quantiles_fast(sf_dir):
+    """Same order statistics as q_quantiles but via
+    packing.quantiles_select — bin-refinement selection with NO
+    shuffle (streaming histogram rounds + a bounded gather); shares
+    the quantiles SQL oracle because both compute the value at rank
+    floor(q*(n-1))."""
+    from .pipelines.packing import quantiles_select
+
+    out = quantiles_select(
+        _docs(sf_dir).select_columns(["n_chars"]),
         "n_chars", list(QUANTILE_QS),
     )
     out["q"] = out["q"].astype(np.float64)

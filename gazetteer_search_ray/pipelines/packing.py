@@ -22,6 +22,13 @@ Built on it here:
 * :func:`exact_quantiles` — exact order statistics of a numeric
   column (rank = floor(q·(n−1))) via ``global_row_number`` + a
   vectorized rank filter; only the k requested rows reach the driver.
+* :func:`quantiles_select` — the same order statistics with NO
+  shuffle at all: iterative bin-refinement selection (streaming
+  histogram rounds, O(targets × bins) driver state, bounded final
+  gather).  The scale path when the exchange is the bottleneck.
+* :func:`keyed_scan` — per-key ordered window functions
+  (``row_number()/lag()/sum() OVER (PARTITION BY key ORDER BY …)``)
+  as a distributed segmented scan.
 
 Partitioning assumption (documented per the custom-operator rule): the
 sort keys must be UNIQUE per row — each materialized block's first key
@@ -217,6 +224,184 @@ def exact_quantiles(ds, col: str, qs: list[float],
     return pd.DataFrame({
         "q": pd.Series([float(q) for q in qs], dtype=np.float64),
         "value": [val_by_rank[rank_of[float(q)]] for q in qs],
+    })
+
+
+def quantiles_select(ds, col: str, qs: list[float], bins: int = 2048,
+                     gather_limit: int = 1_000_000,
+                     max_rounds: int = 64) -> pd.DataFrame:
+    """Exact order statistics WITHOUT any shuffle — the 100-TB scale
+    path next to :func:`exact_quantiles` (which ships the whole column
+    through one range exchange).
+
+    Iterative bin-refinement selection: one streaming pass finds
+    (non-null count, min, max); each round one shuffle-free
+    ``map_batches`` pass histograms every unresolved target's candidate
+    interval into ``bins`` buckets (per-batch partials carry per-bucket
+    count AND actual min/max; the driver merges O(targets × bins)
+    rows), narrowing each target rank to one bucket; once a target's
+    bucket holds ≤ ``gather_limit`` values, a final pass gathers just
+    those values and ``np.partition`` selects exactly.
+
+    Exactness argument: the bucket index (``clip(floor((v-lo)/w))`` /
+    int ``(v-lo)//w``) is a nondecreasing function of ``v``, so each
+    bucket is a contiguous value range, and the refined interval is the
+    CLOSED range [bucket min, bucket max] of actual data values — mask
+    recomputation next round is exact value comparison, immune to
+    float bin-edge rounding, and ``min == max`` detects constant
+    intervals exactly (duplicate-heavy columns resolve with no gather).
+
+    Trade-off vs :func:`exact_quantiles`: selection re-READS the
+    pruned single column 1 + rounds times (geometric convergence:
+    interval width / ``bins`` per round — typically 1-2 rounds) but
+    never shuffles; the sort path reads once but moves every row
+    through an all-to-all exchange.  Nulls are excluded (ranks are
+    over non-null values, matching ``ORDER BY`` SQL semantics).
+    """
+    import ray
+
+    thin = ds.select_columns([col])
+    is_int = pa.types.is_integer(thin.schema().base_schema.field(col).type)
+    # keep bounds/values in the column's own numeric domain end to end:
+    # a 63-bit int min/max round-tripped through float64 would corrupt
+    # both the masks and the returned order statistics
+    val_t = pa.int64() if is_int else pa.float64()
+    vdt = np.int64 if is_int else np.float64
+
+    def base_partial(t: pa.Table) -> pa.Table:
+        v = t[col].drop_null()
+        if not is_int and len(v):
+            v = v.filter(pc.invert(pc.is_nan(v)))  # NaN ranks nowhere:
+            # every interval mask would exclude it, so n must too
+        if len(v) == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "lo": pa.array([], val_t),
+                             "hi": pa.array([], val_t)})
+        return pa.table({
+            "n": pa.array([len(v)], pa.int64()),
+            "lo": pa.array([pc.min(v).as_py()], val_t),
+            "hi": pa.array([pc.max(v).as_py()], val_t)})
+
+    stats = thin.map_batches(base_partial, batch_format="pyarrow").to_pandas()
+    n = int(stats["n"].sum()) if len(stats) else 0
+    if n == 0:
+        return pd.DataFrame({"q": pd.Series(qs, dtype=np.float64),
+                             "value": np.full(len(qs), np.nan)})
+    cast = int if is_int else float
+    lo0, hi0 = cast(stats["lo"].min()), cast(stats["hi"].max())
+
+    rank_of = {float(q): int(np.floor(float(q) * (n - 1))) for q in qs}
+    # per distinct target rank: [lo, hi] closed interval of ACTUAL data
+    # values, rank within the interval, interval row count
+    state = {k: [lo0, hi0, k, n] for k in sorted(set(rank_of.values()))}
+    resolved: dict[int, float] = {}
+
+    def _bin_of(v: np.ndarray, lo: float, hi: float) -> np.ndarray:
+        if is_int:
+            w = max(1, -((-(int(hi) - int(lo) + 1)) // bins))
+            return ((v.astype(np.int64) - int(lo)) // w).astype(np.int64)
+        w = (hi - lo) / bins or 1.0
+        return np.clip(((v - lo) / w).astype(np.int64), 0, bins - 1)
+
+    for _round in range(max_rounds):
+        for k, (lo, hi, rk, cnt) in list(state.items()):
+            if k not in resolved and lo == hi:
+                resolved[k] = lo
+        pend = {k: v for k, v in state.items()
+                if k not in resolved and v[3] > gather_limit}
+        if not pend:
+            break
+        ivs = [(k, state[k][0], state[k][1]) for k in sorted(pend)]
+        ref = ray.put(ivs)
+
+        class HistPartial:
+            def __init__(self):
+                self.ivs = ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                v = t[col].drop_null().to_numpy(zero_copy_only=False)
+                out_iv, out_b, out_c, out_lo, out_hi = [], [], [], [], []
+                for i, (_k, lo, hi) in enumerate(self.ivs):
+                    m = (v >= lo) & (v <= hi)
+                    x = v[m]
+                    if x.size == 0:
+                        continue
+                    b = _bin_of(x, lo, hi)
+                    order = np.argsort(x, kind="stable")
+                    xs, bs = x[order], b[order]
+                    heads = np.flatnonzero(
+                        np.r_[True, bs[1:] != bs[:-1]])
+                    tails = np.r_[heads[1:], bs.size] - 1
+                    out_iv.append(np.full(heads.size, i, np.int64))
+                    out_b.append(bs[heads])
+                    out_c.append((tails - heads + 1).astype(np.int64))
+                    out_lo.append(xs[heads].astype(vdt))
+                    out_hi.append(xs[tails].astype(vdt))
+                if not out_iv:
+                    return pa.table({"iv": pa.array([], pa.int64()),
+                                     "b": pa.array([], pa.int64()),
+                                     "c": pa.array([], pa.int64()),
+                                     "blo": pa.array([], val_t),
+                                     "bhi": pa.array([], val_t)})
+                return pa.table({
+                    "iv": pa.array(np.concatenate(out_iv)),
+                    "b": pa.array(np.concatenate(out_b)),
+                    "c": pa.array(np.concatenate(out_c)),
+                    "blo": pa.array(np.concatenate(out_lo)),
+                    "bhi": pa.array(np.concatenate(out_hi))})
+
+        parts = thin.map_batches(HistPartial, batch_format="pyarrow",
+                                 concurrency=(2, 16)).to_pandas()
+        merged = parts.groupby(["iv", "b"]).agg(
+            c=("c", "sum"), blo=("blo", "min"), bhi=("bhi", "max"))
+        for i, (k, lo, hi) in enumerate(ivs):
+            g = merged.loc[i].sort_index()
+            cum = g["c"].cumsum().to_numpy()
+            rk = state[k][2]
+            j = int(np.searchsorted(cum, rk, side="right"))
+            before = int(cum[j - 1]) if j else 0
+            row = g.iloc[j]
+            state[k] = [cast(row["blo"]), cast(row["bhi"]),
+                        rk - before, int(row["c"])]
+    else:
+        raise RuntimeError(
+            f"quantiles_select did not converge in {max_rounds} rounds")
+
+    gather = {k: v for k, v in state.items() if k not in resolved}
+    if gather:
+        givs = [(k, gather[k][0], gather[k][1]) for k in sorted(gather)]
+        gref = ray.put(givs)
+
+        class GatherPartial:
+            def __init__(self):
+                self.ivs = ray.get(gref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                v = t[col].drop_null().to_numpy(zero_copy_only=False)
+                out_iv, out_v = [], []
+                for i, (_k, lo, hi) in enumerate(self.ivs):
+                    x = v[(v >= lo) & (v <= hi)]
+                    if x.size:
+                        out_iv.append(np.full(x.size, i, np.int64))
+                        out_v.append(x.astype(vdt))
+                return pa.table({
+                    "iv": pa.array(np.concatenate(out_iv)
+                                   if out_iv else np.array([], np.int64)),
+                    "v": pa.array(np.concatenate(out_v)
+                                  if out_v else np.array([], vdt))})
+
+        vals = thin.map_batches(GatherPartial, batch_format="pyarrow",
+                                concurrency=(2, 16)).to_pandas()
+        for i, (k, _lo, _hi) in enumerate(givs):
+            x = vals.loc[vals["iv"] == i, "v"].to_numpy()
+            rk = state[k][2]
+            resolved[k] = cast(np.partition(x, rk)[rk])
+
+    out_vals = [resolved[rank_of[float(q)]] for q in qs]
+    return pd.DataFrame({
+        "q": pd.Series([float(q) for q in qs], dtype=np.float64),
+        "value": (np.asarray(out_vals, dtype=np.int64) if is_int
+                  else np.asarray(out_vals, dtype=np.float64)),
     })
 
 

@@ -192,3 +192,49 @@ def test_keyed_scan_single_key_many_blocks(ray_session):
     assert (got["cum"].to_numpy() == np.arange(1, n + 1)).all()
     assert got["delta"].isna().sum() == 1
     assert (got["delta"].to_numpy()[1:] == 3).all()
+
+
+def test_quantiles_select_matches_sort(ray_session):
+    """Bin-refinement selection (no shuffle) returns the same order
+    statistics as a full sort, across: duplicate-heavy ints forced
+    through multiple refinement rounds, float64-unsafe 63-bit ints,
+    skewed floats with NaN and null mixed in, constant columns, and a
+    single-row dataset."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.packing import quantiles_select
+
+    rng = np.random.default_rng(3)
+    qs = [0.0, 0.01, 0.25, 0.5, 0.9, 0.99, 1.0]
+
+    def expect(x):
+        s = np.sort(x)
+        return [s[int(np.floor(q * (len(s) - 1)))] for q in qs]
+
+    x = rng.integers(-50, 50, 60_000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"v": x})).repartition(16)
+    out = quantiles_select(ds, "v", qs, bins=8, gather_limit=100)
+    assert out["value"].tolist() == expect(x)
+
+    x = rng.integers(2**62, 2**63 - 1, 20_000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"v": x})).repartition(8)
+    out = quantiles_select(ds, "v", qs, bins=16, gather_limit=500)
+    assert out["value"].tolist() == expect(x)
+
+    x = np.exp(rng.normal(0, 3, 30_000))
+    arr = pa.concat_arrays([
+        pa.array(np.concatenate([x, [np.nan] * 200])),
+        pa.array([None] * 100, pa.float64())])
+    ds = rd.from_arrow(pa.table({"v": arr})).repartition(8)
+    out = quantiles_select(ds, "v", qs, bins=32, gather_limit=200)
+    assert out["value"].tolist() == expect(x)
+
+    for x in [np.full(5_000, 7, np.int64), np.array([3], np.int64)]:
+        ds = rd.from_arrow(pa.table({"v": x}))
+        out = quantiles_select(ds, "v", qs, bins=4, gather_limit=2)
+        assert out["value"].tolist() == expect(x)
+
+    ds = rd.from_arrow(pa.table({"v": pa.array([], pa.int64())}))
+    assert quantiles_select(ds, "v", qs)["value"].isna().all()
