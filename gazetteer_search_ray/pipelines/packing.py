@@ -228,7 +228,7 @@ def exact_quantiles(ds, col: str, qs: list[float],
 
 
 def quantiles_select(ds, col: str, qs: list[float], bins: int = 2048,
-                     gather_limit: int = 1_000_000,
+                     gather_limit: int = 262_144,
                      max_rounds: int = 64) -> pd.DataFrame:
     """Exact order statistics WITHOUT any shuffle — the 100-TB scale
     path next to :func:`exact_quantiles` (which ships the whole column
@@ -311,7 +311,12 @@ def quantiles_select(ds, col: str, qs: list[float], bins: int = 2048,
                 if k not in resolved and v[3] > gather_limit}
         if not pend:
             break
-        ivs = [(k, state[k][0], state[k][1]) for k in sorted(pend)]
+        # targets sharing an interval (always true in round 1, common
+        # after) are histogrammed ONCE: the pass cost is per distinct
+        # interval, not per target rank
+        uniq_iv = sorted({(v[0], v[1]) for v in pend.values()})
+        iv_idx = {b: i for i, b in enumerate(uniq_iv)}
+        ivs = [(None, lo, hi) for (lo, hi) in uniq_iv]
         ref = ray.put(ivs)
 
         class HistPartial:
@@ -354,10 +359,9 @@ def quantiles_select(ds, col: str, qs: list[float], bins: int = 2048,
                                  concurrency=(2, 16)).to_pandas()
         merged = parts.groupby(["iv", "b"]).agg(
             c=("c", "sum"), blo=("blo", "min"), bhi=("bhi", "max"))
-        for i, (k, lo, hi) in enumerate(ivs):
-            g = merged.loc[i].sort_index()
+        for k, (lo, hi, rk, _cnt) in pend.items():
+            g = merged.loc[iv_idx[(lo, hi)]].sort_index()
             cum = g["c"].cumsum().to_numpy()
-            rk = state[k][2]
             j = int(np.searchsorted(cum, rk, side="right"))
             before = int(cum[j - 1]) if j else 0
             row = g.iloc[j]
@@ -369,7 +373,12 @@ def quantiles_select(ds, col: str, qs: list[float], bins: int = 2048,
 
     gather = {k: v for k, v in state.items() if k not in resolved}
     if gather:
-        givs = [(k, gather[k][0], gather[k][1]) for k in sorted(gather)]
+        # several targets often land in the same interval (or the whole
+        # range, when n <= gather_limit): gather each DISTINCT interval
+        # once and serve every rank that lives in it from that array
+        uniq = sorted({(v[0], v[1]) for v in gather.values()})
+        iv_of = {b: i for i, b in enumerate(uniq)}
+        givs = [(None, lo, hi) for (lo, hi) in uniq]
         gref = ray.put(givs)
 
         class GatherPartial:
@@ -392,9 +401,8 @@ def quantiles_select(ds, col: str, qs: list[float], bins: int = 2048,
 
         vals = thin.map_batches(GatherPartial, batch_format="pyarrow",
                                 concurrency=(2, 16)).to_pandas()
-        for i, (k, _lo, _hi) in enumerate(givs):
-            x = vals.loc[vals["iv"] == i, "v"].to_numpy()
-            rk = state[k][2]
+        for k, (lo, hi, rk, _cnt) in gather.items():
+            x = vals.loc[vals["iv"] == iv_of[(lo, hi)], "v"].to_numpy()
             resolved[k] = cast(np.partition(x, rk)[rk])
 
     out_vals = [resolved[rank_of[float(q)]] for q in qs]
