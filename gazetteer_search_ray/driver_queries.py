@@ -1569,6 +1569,8 @@ def all_queries() -> dict:
     return {
         "join_enrich": q_join_enrich,
         "join_left": q_join_left,
+        "sample_mix": q_sample_mix,
+        "upsample_mix": q_upsample_mix,
         "events_scan": q_events_scan,
         "lm_score": q_lm_score,
         "dup_spans": q_dup_spans,
@@ -1656,6 +1658,7 @@ def all_oracle_sql() -> dict:
            **SCAN_SQL, **LM_SQL, **JOIN_SQL}
     sql["ann_lsh"] = EXTRA_SQL["ann_topk"]  # full probe ≡ brute force
     sql["quantiles_fast"] = PACKING_SQL["quantiles"]  # same rank arithmetic
+    sql.update(MIXING_SQL)
     sql["ann_ivf"] = EXTRA_SQL["ann_topk"]  # nprobe=n_clusters ≡ brute force
     return sql
 
@@ -2431,4 +2434,65 @@ JOIN_SQL = {
         f"(SELECT * FROM customer WHERE c_acctbal > {JOIN_BAL}) c "
         f"ON o_custkey = c_custkey ORDER BY o_orderkey"
     ),
+}
+
+
+# ---------------------------------------------------------------------------
+# data mixing (relational.sample_counts_per_group / upsample_groups)
+# ---------------------------------------------------------------------------
+
+MIX_SHARES = {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.1, "zh": 0.1}
+MIX_TOTAL = 200
+UP_FACTORS = {"en": 2, "de": 3, "zh": 0}
+
+
+def q_sample_mix(sf_dir):
+    """Deterministic corpus-mix construction: floor(total x share) docs
+    per language, chosen by the stratified hash-rank rule — ONE
+    grouped_topk distributed merge, per-group quota trim on the
+    human-sized candidate set."""
+    from .pipelines.relational import sample_to_proportions
+
+    out = sample_to_proportions(
+        _docs(sf_dir).select_columns(["doc_id", "lang"]),
+        "lang", MIX_SHARES, MIX_TOTAL)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out[["lang", "doc_id"]]
+
+
+def q_upsample_mix(sf_dir):
+    """Epoch-weighting upsampling: per-language integer repetition with
+    a 0-based copy index, expanded inside the stream (broadcast factor
+    dict + np.repeat per batch)."""
+    from .pipelines.relational import upsample_groups
+
+    out = upsample_groups(
+        _docs(sf_dir).select_columns(["doc_id", "lang"]),
+        "lang", UP_FACTORS).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["rep"] = out["rep"].astype(np.int64)
+    return out.sort_values(["doc_id", "rep"]).reset_index(drop=True)[
+        ["doc_id", "lang", "rep"]]
+
+
+def _mix_case() -> str:
+    ks = {g: int(np.floor(MIX_TOTAL * s)) for g, s in MIX_SHARES.items()}
+    whens = " ".join(f"WHEN '{g}' THEN {k}" for g, k in ks.items())
+    return f"CASE lang {whens} ELSE 0 END"
+
+
+MIXING_SQL = {
+    "sample_mix": f"""WITH r AS (
+  SELECT lang, doc_id,
+    row_number() OVER (PARTITION BY lang
+      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+  FROM documents)
+SELECT lang, doc_id FROM r WHERE rn <= {_mix_case()}
+ORDER BY lang, doc_id""",
+    "upsample_mix": """SELECT doc_id, lang, rep FROM (
+  SELECT doc_id, lang,
+    unnest(generate_series(0,
+      CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 3 WHEN 'zh' THEN 0
+      ELSE 1 END - 1))::BIGINT AS rep
+  FROM documents) ORDER BY doc_id, rep""",
 }

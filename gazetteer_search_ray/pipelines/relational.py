@@ -475,6 +475,93 @@ def stratified_sample(ds, group_col: str, cap: int, id_col: str = "doc_id",
     )
 
 
+def sample_counts_per_group(ds, group_col: str, counts: dict,
+                            id_col: str = "doc_id") -> pd.DataFrame:
+    """Deterministic per-group sample sizes — the data-MIX construction
+    step of an LLM corpus pipeline (keep exactly ``counts[g]`` rows of
+    group ``g``; groups absent from ``counts`` drop entirely).
+
+    Membership is the :func:`stratified_sample` rule — the ``counts[g]``
+    rows with the smallest Knuth multiplicative hash of ``id_col`` —
+    so the mix is uniform-ish within each stratum yet reproducible
+    across runs/engines with no RNG state, and shrinking a group's
+    quota yields a SUBSET of the larger sample (hash-rank prefixes
+    nest).
+
+    Rides :func:`grouped_topk`'s fully distributed merge ONCE with
+    ``k = max(counts)``, then trims each group to its own quota on the
+    collected candidates — the driver holds ≤ groups × max(counts)
+    rows (the mix spec itself is human-sized), never the input.
+    """
+    keep = {g: int(c) for g, c in counts.items() if int(c) > 0}
+    if not keep:
+        return pd.DataFrame(columns=[group_col, id_col])
+    kmax = max(keep.values())
+
+    def add_h(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t[group_col],
+                              value_set=pa.array(list(keep))))
+        ids = t[id_col].to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(4294967296)
+        return t.append_column("__h", pa.array(-h.astype(np.int64)))
+
+    cand = grouped_topk(
+        ds.map_batches(add_h, batch_format="pyarrow"),
+        group_col, "__h", kmax, id_col=id_col, as_pandas=True,
+    )
+    # candidates arrive (group, rank)-sorted: per-group head(counts[g])
+    out = (cand.groupby(group_col, sort=False, group_keys=False)
+           .apply(lambda g: g.head(keep[g.name])))
+    return (out[[group_col, id_col]]
+            .sort_values([group_col, id_col]).reset_index(drop=True))
+
+
+def sample_to_proportions(ds, group_col: str, shares: dict, total: int,
+                          id_col: str = "doc_id") -> pd.DataFrame:
+    """Deterministic sampling to a target mix: ``floor(total ×
+    shares[g])`` rows per group via :func:`sample_counts_per_group`."""
+    return sample_counts_per_group(
+        ds, group_col,
+        {g: int(np.floor(total * s)) for g, s in shares.items()},
+        id_col=id_col)
+
+
+def upsample_groups(ds, group_col: str, factors: dict, default: int = 1,
+                    rep_col: str = "rep"):
+    """Per-group integer upsampling — the epoch-weighting half of data
+    mixing: each row of group ``g`` repeats ``factors.get(g, default)``
+    times, with a 0-based copy index in ``rep_col`` (factor 0 drops the
+    group).  Shuffle-free: the factor dict broadcasts via ``ray.put``
+    and each batch expands with one ``np.repeat`` — the repetition
+    happens inside the stream, never on the driver."""
+    import ray
+
+    fref = ray.put({g: int(f) for g, f in factors.items()})
+    dflt = int(default)
+
+    class Expand:
+        def __init__(self):
+            self.f = ray.get(fref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            schema = t.schema.append(pa.field(rep_col, pa.int64()))
+            if t.num_rows == 0:
+                return schema.empty_table()
+            g = t[group_col].to_pylist()
+            reps = np.fromiter((self.f.get(x, dflt) for x in g),
+                               np.int64, len(g))
+            reps = np.maximum(reps, 0)
+            ridx = np.repeat(np.arange(t.num_rows, dtype=np.int64), reps)
+            total = int(reps.sum())
+            rep = (np.arange(total, dtype=np.int64)
+                   - np.repeat(np.cumsum(reps) - reps, reps))
+            out = t.take(pa.array(ridx))
+            return out.append_column(rep_col, pa.array(rep))
+
+    return ds.map_batches(Expand, batch_format="pyarrow",
+                          concurrency=(2, 16))
+
+
 def equi_join(left, right, on, right_on=None, how: str = "inner",
               strategy: str = "auto", num_partitions: int | None = None,
               broadcast_limit: int = 2_000_000,

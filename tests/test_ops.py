@@ -942,3 +942,50 @@ def test_equi_join_right_on_and_suffix(ray_session):
     pd.testing.assert_frame_equal(
         outs["broadcast"][["ok", "v", "v_r"]],
         outs["shuffle"][["ok", "v", "v_r"]], check_dtype=False)
+
+
+def test_data_mixing_matches_brute(ray_session):
+    """sample_counts_per_group / sample_to_proportions / upsample_groups
+    vs brute-force pandas: per-group quotas (incl. quota > group size,
+    zero quota, group absent from the spec), hash-rank determinism, and
+    upsample rep-index coverage 0..f-1 per surviving row."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.relational import (
+        sample_counts_per_group,
+        sample_to_proportions,
+        upsample_groups,
+    )
+
+    rng = np.random.default_rng(1)
+    langs = np.array(["en", "de", "fr", "es", "zh"])[rng.integers(0, 5, 3000)]
+    ids = rng.permutation(3000).astype(np.int64)
+    df = pd.DataFrame({"lang": langs, "doc_id": ids})
+    ds = rd.from_pandas(df).repartition(7)
+
+    counts = {"en": 200, "de": 50, "fr": 2500, "zh": 0}  # es absent
+    got = sample_counts_per_group(ds, "lang", counts)
+    h = (df["doc_id"].to_numpy().astype(np.uint64)
+         * np.uint64(2654435761)) % np.uint64(4294967296)
+    ranked = df.assign(h=h.astype(np.int64)).sort_values(["h", "doc_id"])
+    exp = pd.concat([
+        ranked[ranked["lang"] == g].head(c)[["lang", "doc_id"]]
+        for g, c in counts.items() if c > 0
+    ]).sort_values(["lang", "doc_id"]).reset_index(drop=True)
+    assert got.equals(exp)
+
+    got2 = sample_to_proportions(ds, "lang", {"en": 0.5, "de": 0.25}, 400)
+    assert got2.groupby("lang").size().to_dict() == {"de": 100, "en": 200}
+
+    up = upsample_groups(ds, "lang", {"en": 2, "de": 3, "zh": 0}).to_pandas()
+    f = df["lang"].map({"en": 2, "de": 3, "zh": 0}).fillna(1).astype(int)
+    assert len(up) == f.sum()
+    per = up.groupby("doc_id")["rep"].agg(["count", "min", "max"])
+    fs = df.set_index("doc_id")["lang"].map(
+        {"en": 2, "de": 3, "zh": 0}).fillna(1).astype(int)
+    fs = fs[fs > 0]
+    assert (per["count"] == fs.loc[per.index]).all()
+    assert (per["min"] == 0).all()
+    assert (per["max"] == fs.loc[per.index] - 1).all()
