@@ -1570,6 +1570,7 @@ def all_queries() -> dict:
         "join_enrich": q_join_enrich,
         "join_left": q_join_left,
         "sample_mix": q_sample_mix,
+        "group_quantiles": q_group_quantiles,
         "upsample_mix": q_upsample_mix,
         "events_scan": q_events_scan,
         "lm_score": q_lm_score,
@@ -1659,6 +1660,7 @@ def all_oracle_sql() -> dict:
     sql["ann_lsh"] = EXTRA_SQL["ann_topk"]  # full probe ≡ brute force
     sql["quantiles_fast"] = PACKING_SQL["quantiles"]  # same rank arithmetic
     sql.update(MIXING_SQL)
+    sql.update(GQ_SQL)
     sql["ann_ivf"] = EXTRA_SQL["ann_topk"]  # nprobe=n_clusters ≡ brute force
     return sql
 
@@ -2495,4 +2497,40 @@ ORDER BY lang, doc_id""",
       CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 3 WHEN 'zh' THEN 0
       ELSE 1 END - 1))::BIGINT AS rep
   FROM documents) ORDER BY doc_id, rep""",
+}
+
+
+# ---------------------------------------------------------------------------
+# per-group exact quantiles (packing.grouped_quantiles)
+# ---------------------------------------------------------------------------
+
+GQ_QS = (0.25, 0.5, 0.9)
+
+
+def q_group_quantiles(sf_dir):
+    """Per-language n_chars percentiles: ONE sort exchange
+    (global_row_number over (lang, n_chars, doc_id)), a one-row-per-
+    group (count, min-rank) broadcast, and a vectorized rank-filter
+    pass — #groups x len(qs) rows reach the driver."""
+    from .pipelines.packing import grouped_quantiles
+
+    out = grouped_quantiles(
+        _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"]),
+        "lang", "n_chars", list(GQ_QS))
+    out["q"] = out["q"].astype(np.float64)
+    out["value"] = out["value"].astype(np.int64)
+    return out[["lang", "q", "value"]]
+
+
+GQ_SQL = {
+    "group_quantiles": f"""WITH r AS (
+  SELECT lang, n_chars,
+    (row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+     - 1)::BIGINT AS rk,
+    count(*) OVER (PARTITION BY lang) AS cnt
+  FROM documents),
+qs(q) AS (VALUES {", ".join(f"({q})" for q in GQ_QS)})
+SELECT lang, q::DOUBLE AS q, n_chars AS value
+FROM r JOIN qs ON r.rk = CAST(floor(q::DOUBLE * (cnt - 1)) AS BIGINT)
+ORDER BY lang, q""",
 }

@@ -413,6 +413,79 @@ def quantiles_select(ds, col: str, qs: list[float], bins: int = 2048,
     })
 
 
+def grouped_quantiles(ds, group_col: str, val_col: str, qs: list[float],
+                      id_col: str = "doc_id") -> pd.DataFrame:
+    """Exact per-group order statistics — ``value at rank
+    floor(q·(n_g−1))`` inside every group (per-language length
+    percentiles, per-domain quality cut points, …).
+
+    Composition of existing primitives, ONE sort exchange total:
+
+    1. :func:`global_row_number` over ``(group, val, id)`` — global
+       rank ``r`` in which each group is a contiguous range;
+    2. a tiny ``groupby(group).(count, min(r))`` aggregate — one row
+       per group — broadcast via ``ray.put``; within-group rank is
+       just ``r − min_r(group)``, no segmented scan needed;
+    3. a stateless filter pass keeping rows whose within-group rank
+       equals a target ``floor(q·(n_g−1))`` (vectorized
+       ``pc.index_in`` group lookup + numpy gathers); only
+       ``#groups × len(qs)`` rows reach the driver.
+
+    Driver/actor memory is O(#groups) for the broadcast stats table —
+    the data-mix/statistics use case (groups are languages, domains,
+    sources).  Returns ``(group, q, value)`` sorted.
+    """
+    import ray
+    from ray.data.aggregate import Count, Min
+
+    qs = [float(q) for q in qs]
+    numbered = global_row_number(
+        ds.select_columns([group_col, val_col, id_col]),
+        [group_col, val_col, id_col], out_col="_r")
+    gstats = (numbered.groupby(group_col)
+              .aggregate(Count(alias_name="_n"), Min("_r", alias_name="_r0"))
+              .to_pandas())
+    if gstats.empty:
+        return pd.DataFrame(columns=[group_col, "q", "value"])
+    groups = pa.array(gstats[group_col])
+    n_g = gstats["_n"].to_numpy(np.int64)
+    r0_g = gstats["_r0"].to_numpy(np.int64)
+    ref = ray.put((groups, n_g, r0_g))
+
+    class RankFilter:
+        def __init__(self):
+            self.groups, self.n, self.r0 = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            schema = pa.schema([t.schema.field(group_col),
+                                pa.field("q", pa.float64()),
+                                pa.field("value",
+                                         t.schema.field(val_col).type)])
+            if t.num_rows == 0:
+                return schema.empty_table()
+            gi = pc.index_in(t[group_col].combine_chunks(),
+                             value_set=self.groups).to_numpy(
+                                 zero_copy_only=False).astype(np.int64)
+            rk = t["_r"].to_numpy() - self.r0[gi]
+            cnt = self.n[gi]
+            outs = []
+            for q in qs:
+                hit = rk == np.floor(q * (cnt - 1)).astype(np.int64)
+                if hit.any():
+                    sel = t.filter(pa.array(hit))
+                    outs.append(pa.table([
+                        sel[group_col],
+                        pa.array(np.full(sel.num_rows, q)),
+                        sel[val_col]], schema=schema))
+            return (pa.concat_tables(outs) if outs
+                    else schema.empty_table())
+
+    out = numbered.map_batches(RankFilter, batch_format="pyarrow",
+                               concurrency=(2, 16)).to_pandas()
+    return (out.sort_values([group_col, "q"])
+            .reset_index(drop=True)[[group_col, "q", "value"]])
+
+
 def _scan_runs(key: np.ndarray):
     """Run-length structure of a key-sorted array: (heads, run_len,
     head_of_row) — head_of_row[i] is the index of row i's run head."""

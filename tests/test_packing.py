@@ -238,3 +238,33 @@ def test_quantiles_select_matches_sort(ray_session):
 
     ds = rd.from_arrow(pa.table({"v": pa.array([], pa.int64())}))
     assert quantiles_select(ds, "v", qs)["value"].isna().all()
+
+
+def test_grouped_quantiles_matches_brute(ray_session):
+    """Per-group order statistics vs brute-force pandas, with heavy
+    value ties and a single-row group."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.packing import grouped_quantiles
+
+    rng = np.random.default_rng(4)
+    langs = np.array(["en", "de", "fr", "es", "zh"])[rng.integers(0, 5, 4000)]
+    vals = rng.integers(0, 300, 4000).astype(np.int64)
+    ids = rng.permutation(4000).astype(np.int64)
+    df = pd.DataFrame({"lang": langs, "n": vals, "doc_id": ids})
+    df = pd.concat([df, pd.DataFrame(
+        {"lang": ["xx"], "n": [42], "doc_id": [99999]})])
+    ds = rd.from_pandas(df).repartition(9)
+    qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    got = grouped_quantiles(ds, "lang", "n", qs)
+    got["value"] = got["value"].astype(np.int64)
+    exp_rows = []
+    for g, sub in df.groupby("lang"):
+        s = sub.sort_values(["n", "doc_id"])["n"].to_numpy()
+        for q in qs:
+            exp_rows.append((g, float(q), int(s[int(np.floor(q * (len(s) - 1)))])))
+    exp = (pd.DataFrame(exp_rows, columns=["lang", "q", "value"])
+           .sort_values(["lang", "q"]).reset_index(drop=True))
+    assert got.equals(exp)
