@@ -1564,8 +1564,11 @@ def all_queries() -> dict:
     # reason; they push stratified_sample / bm25_fuzzy / bm25_range /
     # bm25_box / mass_eval (green r3+r4) past position 50, and
     # events_scan (newest) pushes one more (sample_hash, green r3+r4),
-    # and the equi-join pair (join_enrich/join_left, newest of all)
-    # pushes dedup_minhash/dedup_simhash (green every round since r1).
+    # and the final round-5 additions (join_enrich/join_left,
+    # sample_mix/upsample_mix, group_quantiles, quantiles_fast,
+    # lm_score) push ann_topk/ann_lsh/ann_ivf/emb_neardup/emb_clusters/
+    # token_stats past position 50 — every entry past 50 is green in
+    # the r3 AND r4 driver CORRECTNESS files.
     return {
         "join_enrich": q_join_enrich,
         "join_left": q_join_left,
