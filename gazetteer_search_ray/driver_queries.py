@@ -1568,8 +1568,23 @@ def all_queries() -> dict:
     # sample_mix/upsample_mix, group_quantiles, quantiles_fast,
     # lm_score) push ann_topk/ann_lsh/ann_ivf/emb_neardup/emb_clusters/
     # token_stats past position 50 — every entry past 50 is green in
-    # the r3 AND r4 driver CORRECTNESS files.
+    # the r3 AND r4 driver CORRECTNESS files.  The 9 analytics /
+    # ordering entries (rollup/cube/pivot, ntile, corr_group, zscore,
+    # weighted_sample, shuffle_det, keep_latest) are the newest
+    # never-recorded ops, so they lead too; they push group_stats /
+    # delete_by_query / sample_hash / grouped_topk and the five exact/
+    # near-dup dedup entries past position 50 — all nine green in the
+    # r3 AND r4 driver files.
     return {
+        "rollup": q_rollup,
+        "cube": q_cube,
+        "pivot": q_pivot,
+        "ntile": q_ntile,
+        "corr_group": q_corr_group,
+        "zscore": q_zscore,
+        "weighted_sample": q_weighted_sample,
+        "shuffle_det": q_shuffle_det,
+        "keep_latest": q_keep_latest,
         "join_enrich": q_join_enrich,
         "join_left": q_join_left,
         "sample_mix": q_sample_mix,
@@ -1665,6 +1680,7 @@ def all_oracle_sql() -> dict:
     sql.update(MIXING_SQL)
     sql.update(GQ_SQL)
     sql["ann_ivf"] = EXTRA_SQL["ann_topk"]  # nprobe=n_clusters ≡ brute force
+    sql.update(ANALYTICS_SQL)
     return sql
 
 
@@ -2536,4 +2552,210 @@ qs(q) AS (VALUES {", ".join(f"({q})" for q in GQ_QS)})
 SELECT lang, q::DOUBLE AS q, n_chars AS value
 FROM r JOIN qs ON r.rk = CAST(floor(q::DOUBLE * (cnt - 1)) AS BIGINT)
 ORDER BY lang, q""",
+}
+
+
+# ---------------------------------------------------------------------------
+# multi-level analytics / deterministic ordering (pipelines.analytics)
+# ---------------------------------------------------------------------------
+
+PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+WS_WEIGHTS = {"en": 0.05, "de": 0.2, "fr": 0.5, "es": 0.8, "zh": 1.0}
+NTILE_K = 8
+ZS_THRESH = 2.0
+
+
+def q_rollup(sf_dir):
+    """Multi-level ROLLUP(lang, source) coverage counts: one partial-
+    count pass, coarser levels derived driver-side from the finest
+    (group-cardinality-sized) aggregate."""
+    from .pipelines.analytics import rollup_counts
+
+    return rollup_counts(_docs(sf_dir), ["lang", "source"])
+
+
+def q_cube(sf_dir):
+    """Full CUBE(lang, source) counts from the same single-pass finest
+    aggregate as q_rollup."""
+    from .pipelines.analytics import rollup_counts
+
+    return rollup_counts(_docs(sf_dir), ["lang", "source"], cube=True)
+
+
+def q_pivot(sf_dir):
+    """Pivot: per-source counts, one int64 column per language (the
+    explicit IN-list, as in SQL PIVOT)."""
+    from .pipelines.analytics import pivot_counts
+
+    return pivot_counts(_docs(sf_dir), "source", "lang", list(PIVOT_LANGS))
+
+
+def q_ntile(sf_dir):
+    """NTILE(8) quality/curriculum tiers over (n_chars, doc_id): one
+    sort exchange + closed-form bucket assignment."""
+    from .pipelines.analytics import global_ntile
+
+    out = global_ntile(_docs(sf_dir), "n_chars", NTILE_K).to_pandas()
+    for c in ("doc_id", "n_chars", "tile"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "n_chars", "tile"]]
+
+
+def _events_vy(sf_dir):
+    """events projected to (event_type, value, ysec) with ysec =
+    epoch-us / 1e6 computed float64-elementwise exactly as the oracle's
+    epoch_us(ts)/1000000.0."""
+    import ray.data as rd
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ys = pc.divide(pc.cast(pc.cast(t["ts"], pa.int64()), pa.float64()),
+                       1000000.0)
+        return pa.table({"event_type": t["event_type"],
+                         "value": t["value"], "ysec": ys})
+
+    return ev.map_batches(prep, batch_format="pyarrow")
+
+
+def q_corr_group(sf_dir):
+    """Per-event-type Pearson corr + sample covariance of (value,
+    event-time-seconds): centered two-pass sufficient statistics."""
+    from .pipelines.analytics import corr_by_group
+
+    out = corr_by_group(_events_vy(sf_dir), "event_type", "value", "ysec")
+    out = out.rename(columns={"corr": "corr_vy", "covar": "covar_vy"})
+    return out[["event_type", "n", "corr_vy", "covar_vy"]]
+
+
+def q_zscore(sf_dir):
+    """Per-event-type z-score outliers (|z| > 2) on value: broadcast
+    group stats, stateless vectorized filter pass."""
+    import ray.data as rd
+    from .pipelines.analytics import zscore_outliers
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "event_type", "value"])
+    out = zscore_outliers(ev, "event_type", "value", "event_id",
+                          ZS_THRESH).to_pandas()
+    out["event_id"] = out["event_id"].astype(np.int64)
+    out["z"] = out["z"].astype(np.float64)
+    return out.sort_values("event_id").reset_index(drop=True)[
+        ["event_id", "event_type", "z"]]
+
+
+def q_weighted_sample(sf_dir):
+    """Per-language weighted Bernoulli sampling under the engine's
+    deterministic Knuth hash (data-mixing downweighting)."""
+    from .pipelines.analytics import weighted_sample_hash
+
+    out = weighted_sample_hash(
+        _docs(sf_dir).select_columns(["doc_id", "lang"]),
+        "lang", WS_WEIGHTS).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "lang"]]
+
+
+def q_shuffle_det(sf_dir):
+    """Reproducible global training-data shuffle: rank under
+    (knuth_hash(doc_id), doc_id) via one global_row_number exchange."""
+    from .pipelines.analytics import deterministic_shuffle_order
+
+    out = deterministic_shuffle_order(_docs(sf_dir)).to_pandas()
+    for c in ("pos", "doc_id"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("pos").reset_index(drop=True)[["pos", "doc_id"]]
+
+
+def q_keep_latest(sf_dir):
+    """Dedup-by-recency: each user's most recent event (k=1
+    grouped_topk distributed merge)."""
+    import ray.data as rd
+    from .pipelines.relational import keep_latest
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"], "event_id": t["event_id"],
+                         "ts_us": pc.cast(t["ts"], pa.int64())})
+
+    out = keep_latest(ev.map_batches(prep, batch_format="pyarrow"),
+                      "user_id", "ts_us", "event_id")
+    for c in ("user_id", "event_id", "ts_us"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)[
+        ["user_id", "event_id", "ts_us"]]
+
+
+def _pivot_cases() -> str:
+    return ", ".join(
+        f"sum(CASE WHEN lang='{v}' THEN 1 ELSE 0 END)::BIGINT AS cnt_{v}"
+        for v in PIVOT_LANGS)
+
+
+def _ws_case() -> str:
+    whens = " ".join(f"WHEN '{g}' THEN {int(w * 4294967296)}"
+                     for g, w in WS_WEIGHTS.items())
+    return f"CASE lang {whens} ELSE 0 END"
+
+
+ANALYTICS_SQL = {
+    "rollup": (
+        "SELECT COALESCE(lang, '<all>') AS lang, "
+        "COALESCE(source, '<all>') AS source, count(*)::BIGINT AS cnt "
+        "FROM documents GROUP BY ROLLUP(lang, source) "
+        "ORDER BY lang, source"
+    ),
+    "cube": (
+        "SELECT COALESCE(lang, '<all>') AS lang, "
+        "COALESCE(source, '<all>') AS source, count(*)::BIGINT AS cnt "
+        "FROM documents GROUP BY CUBE(lang, source) "
+        "ORDER BY lang, source"
+    ),
+    "pivot": (
+        f"SELECT source, {_pivot_cases()} FROM documents "
+        f"GROUP BY source ORDER BY source"
+    ),
+    "ntile": (
+        f"SELECT doc_id, n_chars, NTILE({NTILE_K}) OVER "
+        f"(ORDER BY n_chars, doc_id)::BIGINT AS tile "
+        f"FROM documents ORDER BY doc_id"
+    ),
+    "corr_group": (
+        "WITH e AS (SELECT event_type, value, "
+        "epoch_us(ts)/1000000.0 AS ysec FROM events) "
+        "SELECT event_type, count(*)::BIGINT AS n, "
+        "round(corr(value, ysec), 6) AS corr_vy, "
+        "round(covar_samp(value, ysec), 2) AS covar_vy "
+        "FROM e GROUP BY event_type ORDER BY event_type"
+    ),
+    "zscore": (
+        f"WITH s AS (SELECT event_type, avg(value) AS m, "
+        f"stddev_samp(value) AS sd FROM events GROUP BY event_type) "
+        f"SELECT e.event_id, e.event_type, "
+        f"round((e.value - s.m)/s.sd, 6) AS z "
+        f"FROM events e JOIN s USING (event_type) "
+        f"WHERE abs((e.value - s.m)/s.sd) > {ZS_THRESH} "
+        f"ORDER BY e.event_id"
+    ),
+    "weighted_sample": (
+        f"SELECT doc_id, lang FROM documents "
+        f"WHERE (doc_id * 2654435761) % 4294967296 < ({_ws_case()}) "
+        f"ORDER BY doc_id"
+    ),
+    "shuffle_det": (
+        "SELECT (row_number() OVER (ORDER BY "
+        "(doc_id * 2654435761) % 4294967296, doc_id) - 1)::BIGINT AS pos, "
+        "doc_id FROM documents ORDER BY pos"
+    ),
+    "keep_latest": (
+        "SELECT user_id, event_id, epoch_us(ts)::BIGINT AS ts_us FROM ("
+        "SELECT user_id, event_id, ts, row_number() OVER ("
+        "PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn "
+        "FROM events) t WHERE rn = 1 ORDER BY user_id"
+    ),
 }
