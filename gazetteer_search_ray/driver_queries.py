@@ -1576,6 +1576,8 @@ def all_queries() -> dict:
     # near-dup dedup entries past position 50 — all nine green in the
     # r3 AND r4 driver files.
     return {
+        "split_assign": q_split_assign,
+        "pmi": q_pmi,
         "rollup": q_rollup,
         "cube": q_cube,
         "pivot": q_pivot,
@@ -1681,6 +1683,7 @@ def all_oracle_sql() -> dict:
     sql.update(GQ_SQL)
     sql["ann_ivf"] = EXTRA_SQL["ann_topk"]  # nprobe=n_clusters ≡ brute force
     sql.update(ANALYTICS_SQL)
+    sql.update(SPLIT_PMI_SQL)
     return sql
 
 
@@ -2758,4 +2761,85 @@ ANALYTICS_SQL = {
         "PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn "
         "FROM events) t WHERE rn = 1 ORDER BY user_id"
     ),
+}
+
+
+# ---------------------------------------------------------------------------
+# split assignment + PMI collocations
+# ---------------------------------------------------------------------------
+
+SPLIT_SPEC = (("test", 0.1), ("val", 0.1), ("train", 0.8))
+PMI_MIN, PMI_TOP = 4, 50
+
+
+def q_split_assign(sf_dir):
+    """Deterministic train/val/test labels by Knuth-hash cutoffs —
+    membership is a pure function of doc_id (holdout stability)."""
+    from .pipelines.analytics import split_assign
+
+    out = split_assign(
+        _docs(sf_dir).select_columns(["doc_id"]), list(SPLIT_SPEC)
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "split"]]
+
+
+def q_pmi(sf_dir):
+    """Top-50 bigram collocations by PMI (count >= 4): two ngram_counts
+    exchanges + candidate-bounded driver finish."""
+    from .pipelines.textstats import pmi_collocations
+
+    out = pmi_collocations(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        min_count=PMI_MIN, top=PMI_TOP)
+    out["cnt"] = out["cnt"].astype(np.int64)
+    out["pmi"] = out["pmi"].astype(np.float64)
+    return out[["ngram", "cnt", "pmi"]]
+
+
+def _split_case() -> str:
+    cum = 0.0
+    whens = []
+    for label, frac in SPLIT_SPEC[:-1]:
+        cum += frac
+        whens.append(f"WHEN (doc_id * 2654435761) % 4294967296 < "
+                     f"{int(cum * 4294967296)} THEN '{label}'")
+    return ("CASE " + " ".join(whens)
+            + f" ELSE '{SPLIT_SPEC[-1][0]}' END")
+
+
+SPLIT_PMI_SQL = {
+    "split_assign": (
+        f"SELECT doc_id, {_split_case()} AS split "
+        f"FROM documents ORDER BY doc_id"
+    ),
+    # same [^a-z0-9]+ token convention as NGRAM_SQL; totals are
+    # pre-min_count sums, PMI in log space
+    "pmi": f"""WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS a
+  FROM documents),
+ug AS (
+  SELECT unnest(a) AS w FROM arr),
+ugc AS (SELECT w, count(*)::BIGINT AS c FROM ug GROUP BY w),
+tu AS (SELECT sum(c)::DOUBLE AS t FROM ugc),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1]))
+         AS ngram
+  FROM arr),
+bgc AS (SELECT ngram, count(*)::BIGINT AS cnt FROM bg GROUP BY ngram),
+tb AS (SELECT sum(cnt)::DOUBLE AS t FROM bgc),
+cand AS (
+  SELECT ngram, cnt, split_part(ngram, ' ', 1) AS w1,
+         split_part(ngram, ' ', 2) AS w2
+  FROM bgc WHERE cnt >= {PMI_MIN})
+SELECT cand.ngram, cand.cnt,
+       round(ln(cand.cnt) - ln(tb.t) + 2*ln(tu.t)
+             - ln(u1.c) - ln(u2.c), 6) AS pmi
+FROM cand, tb, tu
+JOIN ugc u1 ON cand.w1 = u1.w
+JOIN ugc u2 ON cand.w2 = u2.w
+ORDER BY pmi DESC, cand.ngram LIMIT {PMI_TOP}""",
 }

@@ -350,6 +350,32 @@ def weighted_sample_hash(ds, group_col: str, weights: dict[str, float],
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def split_assign(ds, splits: list[tuple[str, float]],
+                 id_col: str = "doc_id", out_col: str = "split"):
+    """Deterministic train/val/test split assignment: label each row by
+    where its Knuth hash (``relational.sample_hash`` arithmetic) falls
+    among cumulative fraction cutoffs.  ``splits`` is
+    ``[(label, frac), ...]``; fracs must sum to ≤ 1, the remainder
+    falls to the LAST label.  Stateless single pass, reproducible
+    across runs/engines, membership is a pure function of the id — a
+    doc never migrates between splits when the corpus grows (the
+    holdout-stability property hash splits exist for).
+    """
+    labels = [s[0] for s in splits]
+    cuts = np.cumsum([s[1] for s in splits])[:-1]
+    cut_ints = (cuts * 4294967296).astype(np.uint64)
+    lab_arr = pa.array(labels)
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(4294967296)
+        idx = np.searchsorted(cut_ints, h, side="right")
+        return t.append_column(
+            out_col, pc.take(lab_arr, pa.array(idx.astype(np.int64))))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def deterministic_shuffle_order(ds, id_col: str = "doc_id",
                                 out_col: str = "pos"):
     """Deterministic pseudo-random global ordering — the reproducible

@@ -175,3 +175,54 @@ def test_keep_latest(ray_session):
     assert out["k"].tolist() == want["k"].tolist()
     assert out["rid"].tolist() == want["rid"].tolist()
     assert out["ts"].tolist() == want["ts"].tolist()
+
+
+def test_split_assign(ray_session, cat_df):
+    from gazetteer_search_ray.pipelines.analytics import split_assign
+
+    spec = [("test", 0.1), ("val", 0.1), ("train", 0.8)]
+    out = split_assign(_ds(cat_df), spec).to_pandas()
+    h = (cat_df["doc_id"].to_numpy().astype(np.uint64)
+         * np.uint64(2654435761)) % np.uint64(4294967296)
+    u = h.astype(np.float64) / 4294967296.0
+    want = np.where(u < 0.1, "test", np.where(u < 0.2, "val", "train"))
+    got = out.set_index("doc_id")["split"]
+    assert (got.loc[cat_df["doc_id"]].to_numpy() == want).all()
+    # growing the corpus never migrates an existing row's split
+    bigger = pd.concat([cat_df, cat_df.assign(doc_id=cat_df["doc_id"]
+                                              + 10_000)])
+    again = (split_assign(_ds(bigger), spec).to_pandas()
+             .set_index("doc_id")["split"])
+    assert (again.loc[cat_df["doc_id"]].to_numpy()
+            == got.loc[cat_df["doc_id"]].to_numpy()).all()
+
+
+def test_pmi_collocations(ray_session):
+    from gazetteer_search_ray.pipelines.textstats import pmi_collocations
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["new york is big", "new york new york", "big apple",
+                 "york new haven", "is big is big", "new york"],
+    })
+    out = pmi_collocations(_ds(docs, 3), min_count=2, top=10)
+    # brute-force reference
+    toks = [t for s in docs["text"] for t in s.split()]
+    from collections import Counter
+    uc = Counter(toks)
+    bc = Counter()
+    for s in docs["text"]:
+        ws = s.split()
+        for i in range(len(ws) - 1):
+            bc[ws[i] + " " + ws[i + 1]] += 1
+    t_uni, t_bg = sum(uc.values()), sum(bc.values())
+    for _, row in out.iterrows():
+        w1, w2 = row["ngram"].split(" ")
+        want = (np.log(bc[row["ngram"]]) - np.log(t_bg)
+                + 2 * np.log(t_uni) - np.log(uc[w1]) - np.log(uc[w2]))
+        assert bc[row["ngram"]] >= 2
+        assert row["cnt"] == bc[row["ngram"]]
+        assert row["pmi"] == pytest.approx(want, abs=1e-5)
+    # sorted by (pmi desc, ngram)
+    key = list(zip(-out["pmi"], out["ngram"]))
+    assert key == sorted(key)
