@@ -1575,7 +1575,15 @@ def all_queries() -> dict:
     # delete_by_query / sample_hash / grouped_topk and the five exact/
     # near-dup dedup entries past position 50 — all nine green in the
     # r3 AND r4 driver files.
+    # The 4 final round-5 additions (funnel, retention, group_concat,
+    # tfidf_top) are the newest never-recorded ops and lead; they push
+    # prefix_docs / bm25_coalesce / bm25_sort2 / bm25_geo_sort past
+    # position 50 — all four green in the r3 AND r4 driver files.
     return {
+        "funnel": q_funnel,
+        "retention": q_retention,
+        "group_concat": q_group_concat,
+        "tfidf_top": q_tfidf_top,
         "split_assign": q_split_assign,
         "pmi": q_pmi,
         "rollup": q_rollup,
@@ -1684,6 +1692,8 @@ def all_oracle_sql() -> dict:
     sql["ann_ivf"] = EXTRA_SQL["ann_topk"]  # nprobe=n_clusters ≡ brute force
     sql.update(ANALYTICS_SQL)
     sql.update(SPLIT_PMI_SQL)
+    sql.update(FUNNEL_SQL)
+    sql.update(TFIDF_SQL)
     return sql
 
 
@@ -2842,4 +2852,121 @@ FROM cand, tb, tu
 JOIN ugc u1 ON cand.w1 = u1.w
 JOIN ugc u2 ON cand.w2 = u2.w
 ORDER BY pmi DESC, cand.ngram LIMIT {PMI_TOP}""",
+}
+
+
+# ---------------------------------------------------------------------------
+# funnel / retention / ordered concat / tf-idf keyword extraction
+# (round-5 late additions)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+TFIDF_K = 5
+
+
+def q_funnel(sf_dir):
+    """Ordered conversion funnel over the event stream (view → click →
+    purchase, each step strictly after the earliest completion of the
+    previous): per step, the number of users reaching it.  ONE
+    sort([user, ts]) exchange; interior user-runs collapse to a depth
+    histogram per block (`funnel._funnel_depth_counts`)."""
+    import ray.data as rd
+
+    from .pipelines.funnel import funnel_steps
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts"],
+    )
+    return funnel_steps(ds, FUNNEL_STEPS)
+
+
+def q_retention(sf_dir):
+    """Cohort retention matrix: users cohorted by first active day;
+    per (cohort_day, day_offset) the distinct users active that many
+    days later.  ONE sort([user, day]) exchange, cohort×offset-sized
+    partials per block."""
+    import ray.data as rd
+
+    from .pipelines.funnel import retention_cohorts
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts"],
+    )
+    return retention_cohorts(ds)
+
+
+def q_group_concat(sf_dir):
+    """Per-(lang, source) ordered id concatenation — distributed
+    string_agg(doc_id, ',' ORDER BY doc_id) + count; ONE sort
+    exchange, one partial row per (group, block) to the driver."""
+    from .pipelines.packing import ordered_group_concat
+
+    return ordered_group_concat(
+        _docs(sf_dir).select_columns(["lang", "source", "doc_id"]),
+        ["lang", "source"], "doc_id",
+    )
+
+
+def q_tfidf_top(sf_dir):
+    """Per-document top-5 TF-IDF terms (keyword extraction): map-only
+    (doc, term, tf) explode → groupby(term) df → equi_join(auto) →
+    grouped_topk distributed merge.  Ties (score desc, term asc)."""
+    from .pipelines.textstats import tfidf_top_terms
+
+    out = tfidf_top_terms(_docs(sf_dir), k=TFIDF_K)
+    out["score"] = _round(out["score"].to_numpy(np.float64), 6)
+    return out
+
+
+FUNNEL_SQL = {
+    "funnel": """WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id)
+SELECT * FROM (
+  SELECT 1 AS step, 'view' AS step_name, count(*)::BIGINT AS users FROM s1
+  UNION ALL
+  SELECT 2, 'click', count(*)::BIGINT FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', count(*)::BIGINT FROM s3)
+ORDER BY step""",
+    "retention": """WITH ud AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+  FROM events),
+c AS (SELECT user_id, min(d) AS cd FROM ud GROUP BY user_id)
+SELECT c.cd AS cohort_day, ud.d - c.cd AS day_offset,
+       count(*)::BIGINT AS users
+FROM ud JOIN c ON ud.user_id = c.user_id
+GROUP BY 1, 2 ORDER BY 1, 2""",
+    "group_concat": """SELECT lang, source,
+  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS vals,
+  count(*)::BIGINT AS n
+FROM documents GROUP BY lang, source ORDER BY lang, source""",
+}
+
+TFIDF_SQL = {
+    # same [^a-z0-9]+ token convention as TOK_CTE; rank on the raw
+    # double (identical (tf, df) pairs tie exactly on both legs, the
+    # term ASC tiebreak resolves them), round only for the value hash
+    "tfidf_top": f"""WITH {TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+       FROM tok2 GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+nd AS (SELECT count(*)::DOUBLE AS c FROM documents),
+s AS (SELECT tf.doc_id, tf.term, tf.tf * ln(nd.c / df.df) AS score
+      FROM tf JOIN df USING (term), nd),
+r AS (SELECT s.*, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM s)
+SELECT doc_id, term, round(score, 6) AS score
+FROM r WHERE rn <= {TFIDF_K} ORDER BY doc_id, rn""",
 }
