@@ -1579,7 +1579,13 @@ def all_queries() -> dict:
     # tfidf_top) are the newest never-recorded ops and lead; they push
     # prefix_docs / bm25_coalesce / bm25_sort2 / bm25_geo_sort past
     # position 50 — all four green in the r3 AND r4 driver files.
+    # The closing trio (pagerank, active_users, rrf_fusion) leads for
+    # the same never-recorded reason; it pushes bm25_dismax /
+    # bm25_fields / bm25_filter_lang past position 50 (green r3+r4).
     return {
+        "pagerank": q_pagerank,
+        "active_users": q_active_users,
+        "rrf_fusion": q_rrf_fusion,
         "funnel": q_funnel,
         "retention": q_retention,
         "group_concat": q_group_concat,
@@ -1694,6 +1700,7 @@ def all_oracle_sql() -> dict:
     sql.update(SPLIT_PMI_SQL)
     sql.update(FUNNEL_SQL)
     sql.update(TFIDF_SQL)
+    sql.update(GRAPH_SQL)
     return sql
 
 
@@ -2970,3 +2977,158 @@ r AS (SELECT s.*, row_number() OVER (
 SELECT doc_id, term, round(score, 6) AS score
 FROM r WHERE rn <= {TFIDF_K} ORDER BY doc_id, rn""",
 }
+
+
+# ---------------------------------------------------------------------------
+# graph rank / engagement / hybrid fusion (round 5 closing additions)
+# ---------------------------------------------------------------------------
+
+PR_NODES = 200       # node universe of the synthesized link graph
+PR_DAMPING = 0.85
+PR_ITERS = 5
+
+
+def _edges(sf_dir):
+    """Deterministic link graph from the events log: src = user bucket,
+    dst = a mixed user/event bucket — a reproducible directed graph
+    with hubs, dangling nodes and multi-edges (deduped downstream);
+    the oracle re-derives the identical edge set in SQL."""
+    import ray.data as rd
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        e = t["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(u % PR_NODES, pa.int64()),
+            "dst": pa.array((u * 31 + e) % PR_NODES, pa.int64()),
+        })
+
+    return ev.map_batches(mk, batch_format="pyarrow")
+
+
+def q_pagerank(sf_dir):
+    """5-iteration PageRank (d=0.85) over the deduped synthetic link
+    graph; dangling mass leaks (documented in pipelines/graph.py)."""
+    from .pipelines.graph import pagerank
+
+    out = pagerank(_edges(sf_dir), damping=PR_DAMPING, iters=PR_ITERS)
+    out["node"] = out["node"].astype(np.int64)
+    out["rank"] = np.round(out["rank"].astype(np.float64), 6)
+    return out.sort_values("node").reset_index(drop=True)
+
+
+AU_WINDOW = 7
+
+
+def q_active_users(sf_dir):
+    """Rolling 7-day distinct active users per observed day."""
+    import ray.data as rd
+
+    from .pipelines.windows import rolling_active_users
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    return rolling_active_users(ev, window_days=AU_WINDOW)
+
+
+RRF_LEG_N = 60
+RRF_KK = 60
+RRF_TOP = 20
+
+
+def q_rrf_fusion(sf_dir):
+    """Hybrid search: RRF of the lexical BM25 leg (HOT+RARE should)
+    and the vector leg (cosine vs query vec_id=0).  Both legs rank on
+    6-decimal-rounded scores with id tiebreaks (the precision every
+    oracle already compares at) so leg rankings are bit-stable across
+    the two implementations; fusion itself is exact rational
+    arithmetic in float64."""
+    from .pipelines.fusion import rank_leg, rrf_fuse
+    from .pipelines.similarity import ann_topk_bruteforce
+
+    s = get_searcher(sf_dir)
+    docs, scores = s.engine.top_k(
+        Bool(should=(Term(HOT), Term(RARE))), max(2 * RRF_LEG_N, 128))
+    lex = rank_leg(
+        pd.DataFrame({"doc_id": np.asarray(docs, np.int64),
+                      "score": np.asarray(scores, np.float64)}),
+        "doc_id", "score", RRF_LEG_N)
+
+    qv, _ = _query_vecs(sf_dir)
+    ann = ann_topk_bruteforce(_emb(sf_dir), qv[:1], k=max(2 * RRF_LEG_N, 128))
+    ann = ann.rename(columns={"vec_id": "doc_id"})
+    vec = rank_leg(ann[["doc_id", "cosine"]], "doc_id", "cosine", RRF_LEG_N)
+
+    out = rrf_fuse([lex, vec], id_col="doc_id", k=RRF_KK, top_n=RRF_TOP)
+    out["rrf"] = np.round(out["rrf"].astype(np.float64), 6)
+    return out[["doc_id", "rrf"]]
+
+
+def _pagerank_sql() -> str:
+    d = PR_DAMPING
+    layers = [
+        "pr0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes)"]
+    for i in range(1, PR_ITERS + 1):
+        layers.append(f"""pr{i} AS (
+  SELECT n.node,
+         (1-{d})/(SELECT n FROM nn)
+         + {d} * coalesce(sum(p.rank / dg.outdeg), 0) AS rank
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN pr{i-1} p ON p.node = e.src
+  LEFT JOIN deg dg ON dg.src = e.src
+  GROUP BY n.node)""")
+    return f"""WITH e AS (
+  SELECT DISTINCT user_id % {PR_NODES} AS src,
+         (user_id * 31 + event_id) % {PR_NODES} AS dst
+  FROM events),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY src),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+{", ".join(layers)}
+SELECT node::BIGINT AS node, round(rank, 6) AS rank
+FROM pr{PR_ITERS} ORDER BY node"""
+
+
+GRAPH_SQL = {
+    "pagerank": _pagerank_sql(),
+    "active_users": f"""WITH ud AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // {86_400_000_000} AS day
+  FROM events),
+days AS (SELECT DISTINCT day FROM ud)
+SELECT d.day, count(DISTINCT u.user_id)::BIGINT AS active_users
+FROM days d JOIN ud u ON u.day BETWEEN d.day - {AU_WINDOW - 1} AND d.day
+GROUP BY d.day ORDER BY d.day""",
+}
+
+
+def _rrf_sql() -> str:
+    return f"""WITH {BM25_CTE}, {_bm25_score_sql([HOT, RARE])},
+lex AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id, row_number() OVER (
+      ORDER BY round(score, 6) DESC, doc_id) AS r FROM sc)
+  WHERE r <= {RRF_LEG_N}),
+vec AS (
+  SELECT doc_id, r FROM (
+    SELECT e.vec_id AS doc_id, row_number() OVER (
+      ORDER BY round(list_cosine_similarity(
+        CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) DESC,
+      e.vec_id) AS r
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q)
+  WHERE r <= {RRF_LEG_N}),
+fused AS (
+  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         coalesce(1.0/({RRF_KK} + l.r), 0)
+         + coalesce(1.0/({RRF_KK} + v.r), 0) AS rrf
+  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+SELECT doc_id::BIGINT AS doc_id, round(rrf, 6) AS rrf FROM fused
+ORDER BY fused.rrf DESC, doc_id LIMIT {RRF_TOP}"""
+
+
+GRAPH_SQL["rrf_fusion"] = _rrf_sql()

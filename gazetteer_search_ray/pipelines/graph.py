@@ -1,0 +1,225 @@
+"""Graph rank propagation: distributed PageRank over an edge list.
+
+Web-corpus curation ranks crawl sources by link authority (the
+Common-Crawl domain-ranking shape); the reference has no graph
+operator (its closest analog is the street-usage backfill join,
+``imp/addr/UpdateStreetsUsage.java:47-132``, a one-hop count
+propagation) — PageRank generalizes that one-hop enrichment to the
+fixed-point iteration a link graph needs.
+
+Semantics (mirrored exactly by the SQL oracle):
+
+* edges are deduplicated (multi-edges count once);
+* nodes = distinct(src) ∪ distinct(dst);
+* ``r_0(v) = 1/N``;
+* ``r_{t+1}(v) = (1-d)/N + d * Σ_{(u,v)∈E} r_t(u)/outdeg(u)``;
+* dangling nodes (no out-edges) leak their mass — no redistribution
+  term, matching the plain unrolled-SQL formulation.
+
+Scale shapes (the 100-TB lens):
+
+* **Edge dedup + out-degrees** — per-batch Arrow ``group_by`` combiner
+  partials, then ONE ``groupby(src,dst)`` exchange; out-degrees are a
+  further combiner pass over the *deduped* edges (O(#nodes) rows out).
+* **``strategy="broadcast"``** — the rank vector (O(#nodes) float64 +
+  a node→slot lookup) ships once per iteration via ``ray.put`` and is
+  fetched per ACTOR; each batch of edges bincounts its contributions
+  into per-batch ``(dst, contrib)`` partials (vectorized ``np.bincount``
+  over slot ids — no Python loop), and ONE tiny
+  ``groupby(dst).sum()`` per iteration reduces them.  The edge set
+  streams through untouched every round; driver state is O(#nodes),
+  the same declared bound as every broadcast join in this engine.
+* **``strategy="shuffle"``** — nothing node-sized on the driver: ranks
+  stay a Dataset and each iteration is
+  ``equi_join(edges, ranks, on=src, strategy="shuffle")`` →
+  per-batch contribution combiner → ``groupby(dst).sum()`` →
+  left join back onto the node set for the teleport term.  K
+  iterations cost K hash-join exchanges — the honest price of a
+  node set too large to broadcast.
+* ``strategy="auto"`` broadcasts iff ``N ≤ broadcast_limit``.
+
+Both strategies are differentially tested against each other and
+against a dense numpy power iteration (``tests/test_graph.py``); the
+driver oracle (dq:``pagerank``) unrolls the same iteration in SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+DAMPING = 0.85
+
+
+def _dedup_edges(edges, src_col: str, dst_col: str):
+    """Distinct (src, dst) pairs: per-batch Arrow group_by combiner →
+    ONE groupby exchange over pre-deduped partials."""
+
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select([src_col, dst_col])
+        return (t.select([src_col, dst_col])
+                .group_by([src_col, dst_col]).aggregate([]))
+
+    parts = edges.map_batches(part, batch_format="pyarrow")
+    return parts.groupby([src_col, dst_col]).count().drop_columns(["count()"])
+
+
+def _out_degrees(dedup, src_col: str):
+    """(src, outdeg) from the deduped edge set — combiner + ONE small
+    groupby; output is node-sized, never edge-sized."""
+    from ray.data.aggregate import Sum
+
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({src_col: t[src_col], "_pd": pa.array([], pa.int64())})
+        g = t.select([src_col]).group_by([src_col]).aggregate([([], "count_all")])
+        return g.rename_columns([src_col, "_pd"])
+
+    parts = dedup.map_batches(part, batch_format="pyarrow")
+    return parts.groupby(src_col).aggregate(Sum("_pd", alias_name="outdeg"))
+
+
+def _node_ids(dedup, src_col: str, dst_col: str):
+    """Distinct node ids (src ∪ dst) as ONE groupby over stacked
+    per-batch-deduped partials."""
+
+    def stack(t: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays([t[src_col].combine_chunks().cast(pa.int64()),
+                                t[dst_col].combine_chunks().cast(pa.int64())])
+        return pa.table({"node": pa.compute.unique(ids)})
+
+    parts = dedup.map_batches(stack, batch_format="pyarrow")
+    return parts.groupby("node").count().drop_columns(["count()"])
+
+
+def pagerank(edges, damping: float = DAMPING, iters: int = 5,
+             strategy: str = "auto", broadcast_limit: int = 4_000_000,
+             src_col: str = "src", dst_col: str = "dst") -> pd.DataFrame:
+    """PageRank over an int-keyed edge Dataset → ``(node, rank)``
+    pandas frame (node-sized — the caller's declared driver bound).
+
+    ``strategy``: ``"broadcast"`` (rank vector via ``ray.put`` each
+    round, edge set never shuffles), ``"shuffle"`` (ranks stay a
+    Dataset; per-round hash-join exchange), or ``"auto"``.
+    """
+    dedup = _dedup_edges(edges, src_col, dst_col).materialize()
+    nodes = _node_ids(dedup, src_col, dst_col).to_pandas()["node"].to_numpy(np.int64)
+    nodes = np.sort(nodes)
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"node": np.array([], np.int64),
+                             "rank": np.array([], np.float64)})
+    if strategy == "auto":
+        strategy = "broadcast" if n <= broadcast_limit else "shuffle"
+    if strategy == "broadcast":
+        return _pagerank_broadcast(dedup, nodes, damping, iters,
+                                   src_col, dst_col)
+    return _pagerank_shuffle(dedup, nodes, damping, iters, src_col, dst_col)
+
+
+def _pagerank_broadcast(dedup, nodes: np.ndarray, damping: float,
+                        iters: int, src_col: str, dst_col: str) -> pd.DataFrame:
+    import ray
+    from ray.data.aggregate import Sum
+
+    n = len(nodes)
+    # slot ids: searchsorted over the sorted node array (broadcast once)
+    nodes_ref = ray.put(nodes)
+
+    def slotify(t: pa.Table) -> pa.Table:
+        nd = ray.get(nodes_ref)
+        s = np.searchsorted(nd, t[src_col].to_numpy(zero_copy_only=False))
+        d = np.searchsorted(nd, t[dst_col].to_numpy(zero_copy_only=False))
+        return pa.table({"s": pa.array(s, pa.int64()),
+                         "d": pa.array(d, pa.int64())})
+
+    slots = dedup.map_batches(slotify, batch_format="pyarrow").materialize()
+    outdeg = np.zeros(n, np.float64)
+    od = _out_degrees(dedup, src_col).to_pandas()
+    outdeg[np.searchsorted(nodes, od[src_col].to_numpy(np.int64))] = (
+        od["outdeg"].to_numpy(np.float64))
+    outdeg_ref = ray.put(outdeg)  # ship the node-sized vector ONCE
+
+    rank = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        rank_ref = ray.put(rank)
+
+        def contrib(t: pa.Table, _ref=rank_ref, _odref=outdeg_ref) -> pa.Table:
+            r = ray.get(_ref)
+            odv = ray.get(_odref)
+            s = t["s"].to_numpy()
+            d = t["d"].to_numpy()
+            w = r[s] / np.maximum(odv[s], 1.0)
+            # per-batch combiner: bincount over the batch's own dst set
+            uniq, inv = np.unique(d, return_inverse=True)
+            agg = np.bincount(inv, weights=w)
+            return pa.table({"d": pa.array(uniq, pa.int64()),
+                             "c": pa.array(agg, pa.float64())})
+
+        parts = slots.map_batches(contrib, batch_format="pyarrow")
+        summed = parts.groupby("d").aggregate(Sum("c", alias_name="c")).to_pandas()
+        nxt = np.full(n, (1.0 - damping) / n)
+        nxt[summed["d"].to_numpy(np.int64)] += (
+            damping * summed["c"].to_numpy(np.float64))
+        rank = nxt
+    return pd.DataFrame({"node": nodes, "rank": rank})
+
+
+def _pagerank_shuffle(dedup, nodes: np.ndarray, damping: float,
+                      iters: int, src_col: str, dst_col: str) -> pd.DataFrame:
+    """Fully distributed: ranks live in a Dataset; each round is one
+    hash-join exchange + one contribution groupby.  Only the final
+    node-sized result reaches the driver."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .relational import equi_join
+
+    n = len(nodes)
+    outdeg = _out_degrees(dedup, src_col)
+    # weighted edges (src, dst, w=1/outdeg) — outdeg is node-sized, so
+    # the join strategy resolves per its own auto rule
+    we = equi_join(dedup, outdeg, on=src_col, how="inner",
+                   strategy="shuffle").materialize()
+
+    def weight(t: pa.Table) -> pa.Table:
+        w = 1.0 / np.maximum(t["outdeg"].to_numpy(zero_copy_only=False), 1.0)
+        return pa.table({src_col: t[src_col], dst_col: t[dst_col],
+                         "w": pa.array(w, pa.float64())})
+
+    we = we.map_batches(weight, batch_format="pyarrow").materialize()
+    ranks = rd.from_arrow(pa.table({
+        "node": pa.array(nodes, pa.int64()),
+        "rank": pa.array(np.full(n, 1.0 / n), pa.float64())}))
+    teleport = (1.0 - damping) / n
+    for _ in range(iters):
+        j = equi_join(we, ranks, on=src_col, right_on="node",
+                      how="inner", strategy="shuffle")
+
+        def contrib(t: pa.Table) -> pa.Table:
+            c = t["w"].to_numpy(zero_copy_only=False) * \
+                t["rank"].to_numpy(zero_copy_only=False)
+            d = t[dst_col].to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(d, return_inverse=True)
+            return pa.table({"node": pa.array(uniq, pa.int64()),
+                             "c": pa.array(np.bincount(inv, weights=c),
+                                           pa.float64())})
+
+        summed = (j.map_batches(contrib, batch_format="pyarrow")
+                  .groupby("node").aggregate(Sum("c", alias_name="c")))
+        base = rd.from_arrow(pa.table({"node": pa.array(nodes, pa.int64())}))
+        nxt = equi_join(base, summed, on="node", how="left_outer",
+                        strategy="shuffle")
+
+        def finish(t: pa.Table, _tp=teleport, _d=damping) -> pa.Table:
+            c = t["c"].to_numpy(zero_copy_only=False)
+            c = np.where(np.isnan(c), 0.0, c)
+            return pa.table({"node": t["node"],
+                             "rank": pa.array(_tp + _d * c, pa.float64())})
+
+        ranks = nxt.map_batches(finish, batch_format="pyarrow").materialize()
+    out = ranks.to_pandas().sort_values("node").reset_index(drop=True)
+    out["node"] = out["node"].astype(np.int64)
+    return out

@@ -225,3 +225,80 @@ def session_windows(
         })
         fin = fin.union(rd.from_pandas(fix))
     return fin
+
+
+US_PER_DAY = 86_400_000_000
+
+
+def rolling_active_users(ds, window_days: int = 7, ts_col: str = "ts",
+                         user_col: str = "user_id") -> pd.DataFrame:
+    """Rolling-window distinct actives (the DAU/WAU engagement report):
+    for every day observed in the log, the count of distinct users with
+    ≥1 event in the trailing ``window_days``-day window ending that day.
+
+    Scale shape — COUNT DISTINCT over a sliding window without ever
+    shuffling events or holding per-day user sets:
+
+    1. distinct ``(user, day)`` pairs: per-batch Arrow ``group_by``
+       combiner, ONE ``groupby`` exchange (activity-day pairs, not
+       events, cross the wire);
+    2. vectorized fan-out of each pair to the ``window_days`` window
+       END days it covers (``np.repeat`` + tiled offsets — a bounded
+       ×W blow-up of the already-deduped pair set);
+    3. distinct ``(user, window_end)`` via a second combiner+groupby —
+       a user active on several days of one window counts once;
+    4. per-day partial counts (combiner) + ONE tiny ``groupby`` —
+       O(#days) rows reach the driver, restricted to days that
+       actually appear in the log (window ends with no events drop).
+
+    ``day`` is epoch-days (``epoch_us // 86_400_000_000``), exactly the
+    oracle's integer arithmetic.
+    """
+    from ray.data.aggregate import Sum
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        # normalize to µs first — timestamp[ns] inputs (pandas-born)
+        # would otherwise yield nanosecond epoch values
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        day = us.to_numpy(zero_copy_only=False) // US_PER_DAY
+        u = t[user_col].to_numpy(zero_copy_only=False)
+        tab = pa.table({"u": pa.array(u, pa.int64()),
+                        "day": pa.array(day, pa.int64())})
+        return tab.group_by(["u", "day"]).aggregate([])
+
+    pairs = (ds.select_columns([user_col, ts_col])
+             .map_batches(to_pairs, batch_format="pyarrow")
+             .groupby(["u", "day"]).count().drop_columns(["count()"]))
+
+    def fan_out(t: pa.Table, _w=window_days) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        d = t["day"].to_numpy(zero_copy_only=False)
+        uu = np.repeat(u, _w)
+        ww = np.repeat(d, _w) + np.tile(np.arange(_w, dtype=np.int64), len(d))
+        tab = pa.table({"u": pa.array(uu, pa.int64()),
+                        "w": pa.array(ww, pa.int64())})
+        return tab.group_by(["u", "w"]).aggregate([])
+
+    cover = (pairs.map_batches(fan_out, batch_format="pyarrow")
+             .groupby(["u", "w"]).count().drop_columns(["count()"]))
+
+    def count_part(t: pa.Table) -> pa.Table:
+        g = t.select(["w"]).group_by(["w"]).aggregate([([], "count_all")])
+        return g.rename_columns(["w", "_pc"])
+
+    per_day = (cover.map_batches(count_part, batch_format="pyarrow")
+               .groupby("w").aggregate(Sum("_pc", alias_name="active_users"))
+               .to_pandas())
+
+    # restrict to observed days (the fan-out also lands on the
+    # window_days-1 days after the last event of each user)
+    def day_part(t: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.unique(t["day"])})
+
+    obs = (pairs.map_batches(day_part, batch_format="pyarrow")
+           .groupby("day").count().drop_columns(["count()"])
+           .to_pandas()["day"].to_numpy(np.int64))
+    out = per_day[per_day["w"].isin(obs)].rename(columns={"w": "day"})
+    out["day"] = out["day"].astype(np.int64)
+    out["active_users"] = out["active_users"].astype(np.int64)
+    return out.sort_values("day").reset_index(drop=True)
