@@ -1582,7 +1582,11 @@ def all_queries() -> dict:
     # The closing trio (pagerank, active_users, rrf_fusion) leads for
     # the same never-recorded reason; it pushes bm25_dismax /
     # bm25_fields / bm25_filter_lang past position 50 (green r3+r4).
+    # snapshot_diff / json_extract (newest) lead too, pushing
+    # bm25_msm2 / bm25_prior past position 50 (green r3+r4).
     return {
+        "snapshot_diff": q_snapshot_diff,
+        "json_extract": q_json_extract,
         "pagerank": q_pagerank,
         "active_users": q_active_users,
         "rrf_fusion": q_rrf_fusion,
@@ -1701,6 +1705,7 @@ def all_oracle_sql() -> dict:
     sql.update(FUNNEL_SQL)
     sql.update(TFIDF_SQL)
     sql.update(GRAPH_SQL)
+    sql.update(DIFF_SQL)
     return sql
 
 
@@ -3132,3 +3137,105 @@ ORDER BY fused.rrf DESC, doc_id LIMIT {RRF_TOP}"""
 
 
 GRAPH_SQL["rrf_fusion"] = _rrf_sql()
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff / JSON sidecar extraction (round 5 closing additions)
+# ---------------------------------------------------------------------------
+
+
+def _snapshots(sf_dir):
+    """Deterministic old/new corpus snapshots: new drops doc_id%10==0,
+    rewrites text for doc_id%7==0, and appends ten fresh docs — the
+    oracle re-derives the identical pair in SQL."""
+    import ray.data as rd
+
+    old = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+
+    def mutate(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = did % 10 != 0
+        txt = np.asarray(t["text"].to_pylist(), dtype=object)
+        chg = did % 7 == 0
+        txt = np.where(chg, np.char.add(txt.astype(str), " v2"), txt)
+        return pa.table({"doc_id": pa.array(did[keep], pa.int64()),
+                         "text": pa.array(txt[keep].astype(str))})
+
+    def fresh(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        nw = did[did < 10]
+        return pa.table({
+            "doc_id": pa.array(nw + 100000, pa.int64()),
+            "text": pa.array([f"new doc {d}" for d in nw])})
+
+    new = old.map_batches(mutate, batch_format="pyarrow").union(
+        old.map_batches(fresh, batch_format="pyarrow"))
+    return old, new
+
+
+def q_snapshot_diff(sf_dir):
+    """Incremental-recrawl delta: added/removed/changed ids between two
+    corpus snapshots (unchanged drop)."""
+    from .pipelines.maintenance import snapshot_diff
+
+    old, new = _snapshots(sf_dir)
+    out = snapshot_diff(old, new).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_json_extract(sf_dir):
+    """Flat-JSON sidecar extraction + per-key rollup: pull int ``k``
+    out of events.props with one vectorized RE2 pass, then count +
+    mean(value) per k (Sum/Count partials — no raw rows shuffle)."""
+    import ray.data as rd
+
+    from .pipelines.cleaning import json_extract_int
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["props", "value"])
+    ex = json_extract_int(ev, "k", keep_cols=("value",))
+
+    from ray.data.aggregate import Count, Sum
+
+    drop_nulls = lambda t: t.filter(pc.is_valid(t["k"]))  # noqa: E731
+    agg = (ex.map_batches(drop_nulls, batch_format="pyarrow")
+           .groupby("k")
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("value", alias_name="_sv"))
+           .to_pandas())
+    agg["avg_value"] = np.round(
+        agg["_sv"].to_numpy(np.float64) / agg["n_events"].to_numpy(np.float64), 6)
+    agg["k"] = agg["k"].astype(np.int64)
+    agg["n_events"] = agg["n_events"].astype(np.int64)
+    return (agg[["k", "n_events", "avg_value"]]
+            .sort_values("k").reset_index(drop=True))
+
+
+_SNAP_CTE = """old AS (SELECT doc_id, text FROM documents),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT doc_id + 100000, 'new doc ' || doc_id::VARCHAR
+  FROM documents WHERE doc_id < 10)"""
+
+DIFF_SQL = {
+    "snapshot_diff": f"""WITH {_SNAP_CTE}
+SELECT coalesce(o.doc_id, n.doc_id)::BIGINT AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text
+ORDER BY doc_id""",
+    "json_extract": """SELECT
+  CAST(regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1) AS BIGINT) AS k,
+  count(*)::BIGINT AS n_events,
+  round(sum(value) / count(*), 6) AS avg_value
+FROM events
+WHERE regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1) <> ''
+GROUP BY 1 ORDER BY 1""",
+}

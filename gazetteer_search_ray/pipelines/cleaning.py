@@ -234,3 +234,29 @@ def remove_boilerplate(ds, text_col: str = "text", id_col: str = "doc_id",
         fn_constructor_kwargs=dict(freq_ref=freq_ref, text_col=text_col,
                                    id_col=id_col, sep=sep),
     )
+
+
+def json_extract_int(ds, field: str, json_col: str = "props",
+                     keep_cols: tuple[str, ...] = ()):
+    """Extract an integer field from a flat-JSON string column — the
+    metadata-sidecar shape (crawl records carry per-page JSON props;
+    the reference's closest analog is the OSM tag map each parser row
+    carries, ``imp/addr/ImportObjectParser.java``).
+
+    Vectorized RE2 extraction (``pc.extract_regex``) over zero-copy
+    Arrow batches — no per-row JSON parser in the hot path, no
+    shuffle.  Rows where the field is absent or non-integer yield
+    null (SQL ``regexp_extract``-miss semantics).  Returns the input's
+    ``keep_cols`` plus an int64 ``field`` column.
+    """
+    pat = rf'"{field}"\s*:\s*(?P<v>-?\d+)'
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t[json_col], pat)
+        # struct with one named capture group; null where no match
+        v = pc.struct_field(m, "v")
+        out = {c: t[c] for c in keep_cols}
+        out[field] = pc.cast(v, pa.int64())
+        return pa.table(out)
+
+    return ds.map_batches(extract, batch_format="pyarrow")

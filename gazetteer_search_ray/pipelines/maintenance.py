@@ -301,3 +301,49 @@ def delete_docs(index_dir: str, doc_ids=None, predicate=None) -> dict:
     man["import_counter"] = int(man.get("import_counter", 0)) + 1
     mf.write_manifest(index_dir, man)
     return man
+
+
+def snapshot_diff(old, new, id_col: str = "doc_id",
+                  content_col: str = "text"):
+    """Corpus snapshot diff: classify every id as ``added`` (only in
+    new), ``removed`` (only in old), or ``changed`` (both, content
+    differs) — the incremental-recrawl audit (unchanged ids drop).
+    The reference's re-import drops a whole region and re-adds it
+    (``AddressesImporter.java:98-108``); this computes the precise
+    delta instead so only changed docs need re-indexing.
+
+    Scale shape: each side reduces to ``(id, content-hash)`` inside
+    ``map_batches`` (md5-64 via the dedup family's vectorized hasher —
+    the text itself never crosses the exchange), then ONE full-outer
+    hash-join on id and a vectorized status classification.  Output is
+    delta-sized.
+    """
+    from .dedup import _stable_hash64
+    from .relational import equi_join
+
+    def hashes(col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            txt = t[content_col].to_pylist()
+            h = _stable_hash64([s if s is not None else "" for s in txt])
+            return pa.table({id_col: pc.cast(t[id_col], pa.int64()),
+                             col: pa.array(h.astype(np.int64))})
+        return fn
+
+    oh = old.map_batches(hashes("_ho"), batch_format="pyarrow")
+    nh = new.map_batches(hashes("_hn"), batch_format="pyarrow")
+    j = equi_join(oh, nh, on=id_col, how="full_outer", strategy="shuffle")
+
+    def classify(t: pa.Table) -> pa.Table:
+        ho = t["_ho"].to_numpy(zero_copy_only=False).astype(np.float64)
+        hn = t["_hn"].to_numpy(zero_copy_only=False).astype(np.float64)
+        miss_o = np.isnan(ho)
+        miss_n = np.isnan(hn)
+        status = np.where(miss_o, "added",
+                          np.where(miss_n, "removed",
+                                   np.where(ho != hn, "changed", "same")))
+        keep = status != "same"
+        return pa.table({id_col: pc.cast(t[id_col], pa.int64())
+                         .filter(pa.array(keep)),
+                         "status": pa.array(status[keep])})
+
+    return j.map_batches(classify, batch_format="pyarrow")

@@ -6,6 +6,7 @@ match the Ray pipelines byte-for-byte on arbitrary text.
 """
 import duckdb
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data as rd
@@ -187,3 +188,33 @@ def test_filter_blocked_domains(ray_session):
     out2 = filter_blocked_domains(
         _ds(URL_TEXTS), ["BLOCKED.evil.NET"]).to_pandas()
     assert sorted(out2["doc_id"].tolist()) == [0, 2, 3]
+
+
+def test_json_extract_int(ray_session):
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.cleaning import json_extract_int
+
+    ev = pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "props": ['{"k": 7}', '{"k":-3, "x": 1}', '{}', '{"K": 9}'],
+    })
+    out = json_extract_int(rd.from_pandas(ev), "k",
+                           keep_cols=("event_id",)).to_pandas()
+    out = out.sort_values("event_id").reset_index(drop=True)
+    assert out["k"].tolist()[:2] == [7, -3]
+    assert out["k"].isna().tolist() == [False, False, True, True]
+
+
+def test_snapshot_diff(ray_session):
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.maintenance import snapshot_diff
+
+    old = pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": ["a", "b", "c", "d"]})
+    new = pd.DataFrame({"doc_id": [2, 3, 5], "text": ["b", "CHANGED", "e"]})
+    out = (snapshot_diff(rd.from_pandas(old).repartition(2),
+                         rd.from_pandas(new).repartition(2))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(zip(out["doc_id"], out["status"])) == [
+        (1, "removed"), (3, "changed"), (4, "removed"), (5, "added")]
