@@ -1585,6 +1585,7 @@ def all_queries() -> dict:
     # snapshot_diff / json_extract (newest) lead too, pushing
     # bm25_msm2 / bm25_prior past position 50 (green r3+r4).
     return {
+        "curate": q_curate,
         "snapshot_diff": q_snapshot_diff,
         "json_extract": q_json_extract,
         "pagerank": q_pagerank,
@@ -1706,6 +1707,7 @@ def all_oracle_sql() -> dict:
     sql.update(TFIDF_SQL)
     sql.update(GRAPH_SQL)
     sql.update(DIFF_SQL)
+    sql.update(CURATE_SQL)
     return sql
 
 
@@ -3238,4 +3240,70 @@ ORDER BY doc_id""",
 FROM events
 WHERE regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1) <> ''
 GROUP BY 1 ORDER BY 1""",
+}
+
+
+# ---------------------------------------------------------------------------
+# composed curation pipeline (flagship chain of verified operators)
+# ---------------------------------------------------------------------------
+
+CURATE_QTH = 0.9
+
+
+def q_curate(sf_dir):
+    """End-to-end corpus curation — the chain a real training-data run
+    executes, each stage an already-oracle-verified operator:
+
+    1. quality gate ≥ 0.9 (`textstats.quality_filter`, shuffle-free);
+    2. train split (doc_id % 23 ≠ 0; the % 23 == 0 docs are the eval
+       set, taken from the FULL corpus — the eval benchmark is
+       external and is not quality-filtered);
+    3. exact dedup among the gated train docs (`dedup.
+       drop_exact_duplicates`: hash-only shuffle, min-id keeper);
+    4. 3-gram decontamination of the keepers against the eval set
+       (`contamination.decontaminate`, broadcast eval hashes).
+
+    Output: surviving (doc_id, lang)."""
+    from .pipelines.contamination import decontaminate
+    from .pipelines.dedup import drop_exact_duplicates
+    from .pipelines.textstats import quality_filter
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text", "lang"])
+    ev = _mod_split(docs, True)
+    train = _mod_split(quality_filter(docs, CURATE_QTH), False)
+    kept = drop_exact_duplicates(train)
+    out = decontaminate(kept, ev, n=3).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "lang"]]
+
+
+_Q_EXPR = """1.0 / (1.0 + exp(-(length(text) / 100.0
+  - (length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) / greatest(length(text), 1)::DOUBLE) * 5
+  - (length(regexp_replace(text, '[^0-9]', '', 'g')) / greatest(length(text), 1)::DOUBLE) * 5)))"""
+
+_TOKS_EXPR = ("list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+              "x -> x <> '')")
+
+CURATE_SQL = {
+    "curate": f"""WITH q AS (
+  SELECT doc_id, text, lang FROM documents WHERE {_Q_EXPR} >= {CURATE_QTH}
+),
+tr AS (SELECT * FROM q WHERE doc_id % 23 <> 0),
+k AS (SELECT min(doc_id) AS doc_id FROM tr GROUP BY text),
+kd AS (SELECT tr.* FROM tr JOIN k USING (doc_id)),
+dt AS (SELECT doc_id, {_TOKS_EXPR} AS toks FROM kd),
+de AS (SELECT doc_id, {_TOKS_EXPR} AS toks FROM documents
+       WHERE doc_id % 23 = 0),
+shk AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM dt, LATERAL (SELECT unnest(range(1, greatest(len(toks)-2, 1)+1)) AS i) g
+  WHERE len(toks) >= 1),
+she AS (
+  SELECT DISTINCT array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM de, LATERAL (SELECT unnest(range(1, greatest(len(toks)-2, 1)+1)) AS i) g
+  WHERE len(toks) >= 1),
+hits AS (SELECT DISTINCT s.doc_id FROM shk s JOIN she USING (shingle))
+SELECT doc_id, lang FROM kd
+WHERE doc_id NOT IN (SELECT doc_id FROM hits) ORDER BY doc_id""",
 }

@@ -146,7 +146,10 @@ def drop_exact_duplicates(ds, text_col: str = "text", id_col: str = "doc_id",
     if keepers.count() <= broadcast_limit:
         ids = np.sort(
             np.concatenate(
-                [t[id_col].to_numpy() for t in ray.get(keepers.to_arrow_refs())]
+                # skip zero-row blocks: upstream row-filters can emit
+                # schema-less empty blocks whose column lookup raises
+                [t[id_col].to_numpy()
+                 for t in ray.get(keepers.to_arrow_refs()) if t.num_rows]
                 or [np.empty(0, np.int64)]
             )
         ).astype(np.int64)

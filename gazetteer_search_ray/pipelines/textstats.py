@@ -131,6 +131,36 @@ def lang_id(ds, text_col: str = "text", id_col: str = "doc_id", concurrency: int
     )
 
 
+def _quality_kernel(s: pa.Array):
+    """(n_chars, punct_ratio, digit_ratio, score) numpy vectors for a
+    text array — the one formula both quality_score and quality_filter
+    (and the SQL oracle) share."""
+    n_chars = pc.utf8_length(s)
+    stripped_alnum = pc.replace_substring_regex(s, pattern="[a-zA-Z0-9 ]", replacement="")
+    punct = pc.utf8_length(stripped_alnum)
+    stripped_digit = pc.replace_substring_regex(s, pattern="[^0-9]", replacement="")
+    digits = pc.utf8_length(stripped_digit)
+    nc = n_chars.to_numpy().astype(np.float64)
+    denom = np.maximum(nc, 1.0)
+    punct_ratio = punct.to_numpy() / denom
+    digit_ratio = digits.to_numpy() / denom
+    score = 1.0 / (1.0 + np.exp(-(nc / 100.0 - punct_ratio * 5 - digit_ratio * 5)))
+    return n_chars, punct_ratio, digit_ratio, score
+
+
+def quality_filter(ds, threshold: float, text_col: str = "text"):
+    """Schema-preserving quality gate: rows whose quality score
+    (the :func:`quality_score` sigmoid) is ≥ ``threshold`` pass.
+    One shuffle-free map pass; text keeps flowing to later stages —
+    the first gate of a curation chain."""
+
+    def f(t: pa.Table) -> pa.Table:
+        _, _, _, score = _quality_kernel(t[text_col].combine_chunks())
+        return t.filter(pa.array(score >= threshold))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def quality_score(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Length / punctuation-ratio / digit-ratio quality signals.
 
@@ -139,17 +169,8 @@ def quality_score(ds, text_col: str = "text", id_col: str = "doc_id"):
     """
 
     def f(t: pa.Table) -> pa.Table:
-        s = t[text_col].combine_chunks()
-        n_chars = pc.utf8_length(s)
-        stripped_alnum = pc.replace_substring_regex(s, pattern="[a-zA-Z0-9 ]", replacement="")
-        punct = pc.utf8_length(stripped_alnum)
-        stripped_digit = pc.replace_substring_regex(s, pattern="[^0-9]", replacement="")
-        digits = pc.utf8_length(stripped_digit)
-        nc = n_chars.to_numpy().astype(np.float64)
-        denom = np.maximum(nc, 1.0)
-        punct_ratio = punct.to_numpy() / denom
-        digit_ratio = digits.to_numpy() / denom
-        score = 1.0 / (1.0 + np.exp(-(nc / 100.0 - punct_ratio * 5 - digit_ratio * 5)))
+        n_chars, punct_ratio, digit_ratio, score = _quality_kernel(
+            t[text_col].combine_chunks())
         return pa.table(
             {
                 id_col: t[id_col],

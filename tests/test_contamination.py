@@ -108,3 +108,41 @@ def test_empty_eval_set(ray_session):
     assert hashes.size == 0
     rep = contamination_report(_ds(tr), hashes, n=3).to_pandas()
     assert len(rep) == 0
+
+
+def test_curate_chain_quality_dedup_decontam(ray_session):
+    """The composed curation chain: quality gate -> train split ->
+    exact dedup -> eval decontamination, each gate observable."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.contamination import decontaminate
+    from gazetteer_search_ray.pipelines.dedup import drop_exact_duplicates
+    from gazetteer_search_ray.pipelines.textstats import (
+        _quality_kernel,
+        quality_filter,
+    )
+    import pyarrow as pa
+
+    good = "alpha beta gamma delta " * 30          # long, clean -> passes
+    bad = "!!!???;;;"                               # punct-heavy -> fails
+    evaltext = "zeta eta theta iota kappa " * 20   # eval content
+    contaminated = "prefix zeta eta theta suffix " * 10
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 23 * 1],  # 23 -> eval split member
+        "text": [good, good, bad, contaminated, evaltext],
+        "lang": ["en"] * 5,
+    })
+    # sanity: the quality kernel agrees with intent
+    _, _, _, sc = _quality_kernel(pa.array([good, bad]))
+    assert sc[0] >= 0.9 > sc[1]
+
+    ds = rd.from_pandas(docs).repartition(2)
+    ev = ds.filter(lambda r: r["doc_id"] % 23 == 0)
+    train = quality_filter(ds, 0.9).filter(lambda r: r["doc_id"] % 23 != 0)
+    kept = drop_exact_duplicates(train)
+    out = decontaminate(kept, ev, n=3).to_pandas()
+    # doc 3 fails quality, doc 2 is a dup of 1, doc 4 is contaminated,
+    # doc 23 is the eval split -> only doc 1 survives
+    assert sorted(out["doc_id"].astype(np.int64)) == [1]
