@@ -67,7 +67,7 @@ def main():
     def mk_events(t: pa.Table) -> pa.Table:
         i = t["id"].to_numpy()
         u = (i * 2654435761) % N_USERS
-        day = 19_000 + ((i * 40503) % 60)  # 60-day log
+        day = 19_000 + ((i * 40507) % 60)  # 60-day log (40507 ⊥ 60)
         ts = day * 86_400_000_000 + (i % 86_400_000_000)
         return pa.table({
             "user_id": pa.array(u.astype(np.int64)),
