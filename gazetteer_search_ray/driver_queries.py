@@ -1585,6 +1585,7 @@ def all_queries() -> dict:
     # snapshot_diff / json_extract (newest) lead too, pushing
     # bm25_msm2 / bm25_prior past position 50 (green r3+r4).
     return {
+        "ppr": q_ppr,
         "curate": q_curate,
         "snapshot_diff": q_snapshot_diff,
         "json_extract": q_json_extract,
@@ -3307,3 +3308,53 @@ hits AS (SELECT DISTINCT s.doc_id FROM shk s JOIN she USING (shingle))
 SELECT doc_id, lang FROM kd
 WHERE doc_id NOT IN (SELECT doc_id FROM hits) ORDER BY doc_id""",
 }
+
+
+PPR_SEED_MOD = 17
+
+
+def q_ppr(sf_dir):
+    """Personalized PageRank: teleport restricted to the seed set
+    (node % 17 == 0) — random-walk-with-restart relevance to the
+    seeds, same deduped link graph as `pagerank`."""
+    from .pipelines.graph import pagerank
+
+    seeds = np.arange(0, PR_NODES, PPR_SEED_MOD, dtype=np.int64)
+    out = pagerank(_edges(sf_dir), damping=PR_DAMPING, iters=PR_ITERS,
+                   seeds=seeds)
+    out["node"] = out["node"].astype(np.int64)
+    out["rank"] = np.round(out["rank"].astype(np.float64), 6)
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _ppr_sql() -> str:
+    d = PR_DAMPING
+    tele = (f"CASE WHEN n.node % {PPR_SEED_MOD} = 0 "
+            f"THEN 1.0/(SELECT n FROM ns) ELSE 0 END")
+    layers = [
+        f"pr0 AS (SELECT node, CASE WHEN node % {PPR_SEED_MOD} = 0 "
+        f"THEN 1.0/(SELECT n FROM ns) ELSE 0 END AS rank FROM nodes)"]
+    for i in range(1, PR_ITERS + 1):
+        layers.append(f"""pr{i} AS (
+  SELECT n.node,
+         (1-{d}) * {tele}
+         + {d} * coalesce(sum(p.rank / dg.outdeg), 0) AS rank
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN pr{i-1} p ON p.node = e.src
+  LEFT JOIN deg dg ON dg.src = e.src
+  GROUP BY n.node)""")
+    return f"""WITH e AS (
+  SELECT DISTINCT user_id % {PR_NODES} AS src,
+         (user_id * 31 + event_id) % {PR_NODES} AS dst
+  FROM events),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY src),
+ns AS (SELECT count(*)::DOUBLE AS n FROM nodes
+       WHERE node % {PPR_SEED_MOD} = 0),
+{", ".join(layers)}
+SELECT node::BIGINT AS node, round(rank, 6) AS rank
+FROM pr{PR_ITERS} ORDER BY node"""
+
+
+GRAPH_SQL["ppr"] = _ppr_sql()

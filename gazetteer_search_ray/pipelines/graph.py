@@ -100,13 +100,21 @@ def _node_ids(dedup, src_col: str, dst_col: str):
 
 def pagerank(edges, damping: float = DAMPING, iters: int = 5,
              strategy: str = "auto", broadcast_limit: int = 4_000_000,
-             src_col: str = "src", dst_col: str = "dst") -> pd.DataFrame:
+             src_col: str = "src", dst_col: str = "dst",
+             seeds=None) -> pd.DataFrame:
     """PageRank over an int-keyed edge Dataset → ``(node, rank)``
     pandas frame (node-sized — the caller's declared driver bound).
 
     ``strategy``: ``"broadcast"`` (rank vector via ``ray.put`` each
     round, edge set never shuffles), ``"shuffle"`` (ranks stay a
     Dataset; per-round hash-join exchange), or ``"auto"``.
+
+    ``seeds``: optional node-id array → PERSONALIZED PageRank: the
+    teleport term (and the initial mass) is uniform over the seed set
+    instead of all nodes — the recommendation / related-entity shape
+    (public random-walk-with-restart formulation).  ``r_0 = e_S/|S|``
+    and ``r_{t+1}(v) = (1-d)·e_S(v)/|S| + d·Σ r_t(u)/outdeg(u)``.
+    Seeds not present in the graph's node set are ignored.
     """
     dedup = _dedup_edges(edges, src_col, dst_col).materialize()
     nodes = _node_ids(dedup, src_col, dst_col).to_pandas()["node"].to_numpy(np.int64)
@@ -115,17 +123,24 @@ def pagerank(edges, damping: float = DAMPING, iters: int = 5,
     if n == 0:
         return pd.DataFrame({"node": np.array([], np.int64),
                              "rank": np.array([], np.float64)})
+    sv = None
+    if seeds is not None:
+        sv = np.intersect1d(np.asarray(seeds, np.int64), nodes)
+        if sv.size == 0:
+            raise ValueError("no seed id is present in the graph")
     if strategy == "auto":
         strategy = "broadcast" if n <= broadcast_limit else "shuffle"
     if strategy == "broadcast":
         return _pagerank_broadcast(dedup, nodes, damping, iters,
-                                   src_col, dst_col)
-    return _pagerank_shuffle(dedup, nodes, damping, iters, src_col, dst_col)
+                                   src_col, dst_col, seeds_sorted=sv)
+    return _pagerank_shuffle(dedup, nodes, damping, iters, src_col, dst_col,
+                             seeds_sorted=sv)
 
 
 def _pagerank_broadcast(dedup, nodes: np.ndarray, damping: float,
                         iters: int, src_col: str, dst_col: str,
-                        driver_reduce_limit: int = 200_000_000) -> pd.DataFrame:
+                        driver_reduce_limit: int = 200_000_000,
+                        seeds_sorted: np.ndarray | None = None) -> pd.DataFrame:
     import ray
     from ray.data.aggregate import Sum
 
@@ -158,7 +173,12 @@ def _pagerank_broadcast(dedup, nodes: np.ndarray, damping: float,
     n_edges = slots.count()
     stream_reduce = n_edges <= driver_reduce_limit
 
-    rank = np.full(n, 1.0 / n)
+    if seeds_sorted is None:
+        tele = np.full(n, 1.0 / n)
+    else:
+        tele = np.zeros(n, np.float64)
+        tele[np.searchsorted(nodes, seeds_sorted)] = 1.0 / seeds_sorted.size
+    rank = tele.copy()
     for _ in range(iters):
         rank_ref = ray.put(rank)
 
@@ -184,15 +204,19 @@ def _pagerank_broadcast(dedup, nodes: np.ndarray, damping: float,
                 Sum("c", alias_name="c")).to_pandas()
             acc[summed["d"].to_numpy(np.int64)] = (
                 summed["c"].to_numpy(np.float64))
-        rank = (1.0 - damping) / n + damping * acc
+        rank = (1.0 - damping) * tele + damping * acc
     return pd.DataFrame({"node": nodes, "rank": rank})
 
 
 def _pagerank_shuffle(dedup, nodes: np.ndarray, damping: float,
-                      iters: int, src_col: str, dst_col: str) -> pd.DataFrame:
+                      iters: int, src_col: str, dst_col: str,
+                      seeds_sorted: np.ndarray | None = None) -> pd.DataFrame:
     """Fully distributed: ranks live in a Dataset; each round is one
     hash-join exchange + one contribution groupby.  Only the final
-    node-sized result reaches the driver."""
+    node-sized result reaches the driver.  Personalization seeds (a
+    SMALL id set by nature) broadcast once via ``ray.put``; the
+    per-node teleport term is recomputed by membership per batch."""
+    import ray
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -211,10 +235,18 @@ def _pagerank_shuffle(dedup, nodes: np.ndarray, damping: float,
                          "w": pa.array(w, pa.float64())})
 
     we = we.map_batches(weight, batch_format="pyarrow").materialize()
+    if seeds_sorted is None:
+        init = np.full(n, 1.0 / n)
+        seeds_ref = None
+    else:
+        init = np.zeros(n, np.float64)
+        init[np.searchsorted(nodes, seeds_sorted)] = 1.0 / seeds_sorted.size
+        seeds_ref = ray.put(seeds_sorted)
     ranks = rd.from_arrow(pa.table({
         "node": pa.array(nodes, pa.int64()),
-        "rank": pa.array(np.full(n, 1.0 / n), pa.float64())}))
-    teleport = (1.0 - damping) / n
+        "rank": pa.array(init, pa.float64())}))
+    teleport = (1.0 - damping) / n  # uniform case (scalar)
+    n_seeds = 0 if seeds_sorted is None else int(seeds_sorted.size)
     for _ in range(iters):
         j = equi_join(we, ranks, on=src_col, right_on="node",
                       how="inner", strategy="shuffle")
@@ -234,11 +266,19 @@ def _pagerank_shuffle(dedup, nodes: np.ndarray, damping: float,
         nxt = equi_join(base, summed, on="node", how="left_outer",
                         strategy="shuffle")
 
-        def finish(t: pa.Table, _tp=teleport, _d=damping) -> pa.Table:
+        def finish(t: pa.Table, _tp=teleport, _d=damping,
+                   _sref=seeds_ref, _ns=n_seeds) -> pa.Table:
             c = t["c"].to_numpy(zero_copy_only=False)
             c = np.where(np.isnan(c), 0.0, c)
+            if _sref is None:
+                tp = _tp
+            else:
+                sd = ray.get(_sref)
+                nd = t["node"].to_numpy(zero_copy_only=False)
+                idx = np.minimum(np.searchsorted(sd, nd), sd.size - 1)
+                tp = np.where(sd[idx] == nd, (1.0 - _d) / _ns, 0.0)
             return pa.table({"node": t["node"],
-                             "rank": pa.array(_tp + _d * c, pa.float64())})
+                             "rank": pa.array(tp + _d * c, pa.float64())})
 
         ranks = nxt.map_batches(finish, batch_format="pyarrow").materialize()
     out = ranks.to_pandas().sort_values("node").reset_index(drop=True)

@@ -106,3 +106,50 @@ def test_rank_leg_rounds_before_ranking():
                        "score": [1.0000004, 1.0000001]})
     got = rank_leg(df, "doc_id", "score", top_n=2)
     assert got["doc_id"].tolist() == [2, 5]
+
+
+def _brute_ppr(edges, seeds, d=0.85, iters=5):
+    e = sorted(set(edges))
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for u, _ in e:
+        out[idx[u]] += 1
+    sv = [s for s in seeds if s in idx]
+    tele = np.zeros(n)
+    for s in sv:
+        tele[idx[s]] = 1.0 / len(sv)
+    r = tele.copy()
+    for _ in range(iters):
+        nxt = (1 - d) * tele
+        for u, v in e:
+            nxt[idx[v]] += d * r[idx[u]] / out[idx[u]]
+        r = nxt
+    return pd.DataFrame({"node": np.array(nodes, np.int64), "rank": r})
+
+
+def test_personalized_pagerank_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(13)
+    df = _edges_df(rng, n_nodes=30, n_edges=150)
+    seeds = np.array([0, 3, 6, 9, 999], np.int64)  # 999 absent -> ignored
+    want = _brute_ppr(list(zip(df["src"], df["dst"])), seeds.tolist())
+    got = pagerank(rd.from_pandas(df).repartition(4),
+                   strategy="broadcast", seeds=seeds)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, atol=1e-12, rtol=0)
+
+
+def test_personalized_pagerank_shuffle_matches_broadcast(ray_session):
+    rng = np.random.default_rng(17)
+    df = _edges_df(rng, n_nodes=20, n_edges=90)
+    seeds = np.array([0, 5, 10], np.int64)
+    a = pagerank(rd.from_pandas(df), strategy="broadcast", seeds=seeds)
+    b = pagerank(rd.from_pandas(df), strategy="shuffle", seeds=seeds)
+    pd.testing.assert_frame_equal(a, b, atol=1e-12, rtol=0)
+
+
+def test_pagerank_no_seed_in_graph_raises(ray_session):
+    df = pd.DataFrame({"src": [0, 1], "dst": [1, 2]})
+    with pytest.raises(ValueError):
+        pagerank(rd.from_pandas(df), seeds=np.array([99], np.int64))
