@@ -1585,6 +1585,8 @@ def all_queries() -> dict:
     # snapshot_diff / json_extract (newest) lead too, pushing
     # bm25_msm2 / bm25_prior past position 50 (green r3+r4).
     return {
+        "components": q_components,
+        "degree_stats": q_degree_stats,
         "ppr": q_ppr,
         "curate": q_curate,
         "snapshot_diff": q_snapshot_diff,
@@ -3358,3 +3360,43 @@ FROM pr{PR_ITERS} ORDER BY node"""
 
 
 GRAPH_SQL["ppr"] = _ppr_sql()
+
+
+def q_components(sf_dir):
+    """Weakly-connected components of the link graph (min-id labels)."""
+    from .pipelines.graph import connected_components
+
+    out = connected_components(_edges(sf_dir))
+    out["node"] = out["node"].astype(np.int64)
+    out["component_id"] = out["component_id"].astype(np.int64)
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def q_degree_stats(sf_dir):
+    """Per-node out/in degree audit over the deduped link graph."""
+    from .pipelines.graph import degree_stats
+
+    return degree_stats(_edges(sf_dir))
+
+
+_EDGE_CTE = f"""p AS (
+  SELECT DISTINCT user_id % {PR_NODES} AS src,
+         (user_id * 31 + event_id) % {PR_NODES} AS dst
+  FROM events)"""
+
+GRAPH_SQL["components"] = f"""WITH RECURSIVE {_EDGE_CTE},
+e AS (SELECT src AS a, dst AS b FROM p UNION SELECT dst, src FROM p
+      UNION SELECT src, src FROM p UNION SELECT dst, dst FROM p),
+reach(a, b) AS (SELECT a, b FROM e
+  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+SELECT a::BIGINT AS node, min(b)::BIGINT AS component_id
+FROM reach GROUP BY a ORDER BY a"""
+
+GRAPH_SQL["degree_stats"] = f"""WITH {_EDGE_CTE},
+od AS (SELECT src AS node, count(*)::BIGINT AS out_deg FROM p GROUP BY src),
+idg AS (SELECT dst AS node, count(*)::BIGINT AS in_deg FROM p GROUP BY dst),
+n AS (SELECT node FROM od UNION SELECT node FROM idg)
+SELECT n.node::BIGINT AS node, coalesce(od.out_deg, 0)::BIGINT AS out_deg,
+       coalesce(idg.in_deg, 0)::BIGINT AS in_deg
+FROM n LEFT JOIN od USING (node) LEFT JOIN idg USING (node)
+ORDER BY n.node"""

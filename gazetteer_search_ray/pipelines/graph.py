@@ -284,3 +284,65 @@ def _pagerank_shuffle(dedup, nodes: np.ndarray, damping: float,
     out = ranks.to_pandas().sort_values("node").reset_index(drop=True)
     out["node"] = out["node"].astype(np.int64)
     return out
+
+
+def connected_components(edges, src_col: str = "src", dst_col: str = "dst",
+                         driver_pair_limit: int = 20_000_000) -> pd.DataFrame:
+    """Weakly-connected components of the (undirected view of the)
+    edge list → ``(node, component_id)`` with component_id = the
+    minimum node id in the component — the dedup family's clustering
+    semantics applied to an explicit graph.
+
+    Edges dedupe through the same combiner+groupby exchange as
+    :func:`pagerank`; under ``driver_pair_limit`` distinct pairs the
+    driver runs the vectorized min-label propagation
+    (:func:`~gazetteer_search_ray.pipelines.dedup.union_find_labels`),
+    above it the star-contraction rounds over the pairs Dataset
+    (:func:`~...dedup.union_find_labels_distributed`) keep everything
+    distributed.  Output is node-sized either way.
+    """
+    from .dedup import union_find_labels, union_find_labels_distributed
+
+    dedup = _dedup_edges(edges, src_col, dst_col).materialize()
+    n_pairs = dedup.count()
+    if n_pairs == 0:
+        return pd.DataFrame({"node": np.array([], np.int64),
+                             "component_id": np.array([], np.int64)})
+    if n_pairs <= driver_pair_limit:
+        import ray
+
+        blocks = [t for t in ray.get(dedup.to_arrow_refs()) if t.num_rows]
+        pairs = np.concatenate([
+            np.stack([t[src_col].to_numpy(zero_copy_only=False),
+                      t[dst_col].to_numpy(zero_copy_only=False)], axis=1)
+            for t in blocks]).astype(np.int64)
+        nodes, labels = union_find_labels(pairs)
+        return pd.DataFrame({"node": nodes.astype(np.int64),
+                             "component_id": labels.astype(np.int64)})
+    out = union_find_labels_distributed(
+        dedup.map_batches(
+            lambda t: pa.table({"a": t[src_col], "b": t[dst_col]}),
+            batch_format="pyarrow"))
+    out = out.to_pandas().rename(columns={"a": "node", "label": "component_id"})
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def degree_stats(edges, src_col: str = "src", dst_col: str = "dst") -> pd.DataFrame:
+    """Per-node (out_deg, in_deg) over the DEDUPED edge set — the
+    link-graph audit table (hub/authority detection, dangling-node
+    counts).  Two combiner+groupby passes over the deduped edges (each
+    node-sized out), merged on the driver's node-sized frame."""
+    dedup = _dedup_edges(edges, src_col, dst_col).materialize()
+    od = _out_degrees(dedup, src_col).to_pandas().rename(
+        columns={src_col: "node", "outdeg": "out_deg"})
+    idg = _out_degrees(
+        dedup.map_batches(
+            lambda t: pa.table({src_col: t[dst_col]}),
+            batch_format="pyarrow"),
+        src_col).to_pandas().rename(
+        columns={src_col: "node", "outdeg": "in_deg"})
+    out = od.merge(idg, on="node", how="outer").fillna(0)
+    out["node"] = out["node"].astype(np.int64)
+    out["out_deg"] = out["out_deg"].astype(np.int64)
+    out["in_deg"] = out["in_deg"].astype(np.int64)
+    return out.sort_values("node").reset_index(drop=True)

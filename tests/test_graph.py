@@ -153,3 +153,25 @@ def test_pagerank_no_seed_in_graph_raises(ray_session):
     df = pd.DataFrame({"src": [0, 1], "dst": [1, 2]})
     with pytest.raises(ValueError):
         pagerank(rd.from_pandas(df), seeds=np.array([99], np.int64))
+
+
+def test_connected_components_matches_brute(ray_session):
+    from gazetteer_search_ray.pipelines.graph import connected_components
+
+    # two components {0,1,2,7} and {3,4}, singleton via self-edge {9}
+    df = pd.DataFrame({"src": [0, 1, 2, 3, 9, 7],
+                       "dst": [1, 2, 0, 4, 9, 0]})
+    out = connected_components(rd.from_pandas(df).repartition(3))
+    got = dict(zip(out["node"], out["component_id"]))
+    assert got == {0: 0, 1: 0, 2: 0, 7: 0, 3: 3, 4: 3, 9: 9}
+
+
+def test_degree_stats_matches_brute(ray_session):
+    from gazetteer_search_ray.pipelines.graph import degree_stats
+
+    # duplicate edge (0->1) must count once; 2 is sink-only
+    df = pd.DataFrame({"src": [0, 0, 0, 1], "dst": [1, 1, 2, 2]})
+    out = degree_stats(rd.from_pandas(df).repartition(2))
+    rows = {int(r["node"]): (int(r["out_deg"]), int(r["in_deg"]))
+            for _, r in out.iterrows()}
+    assert rows == {0: (2, 0), 1: (1, 1), 2: (0, 2)}
