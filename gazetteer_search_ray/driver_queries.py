@@ -1583,7 +1583,11 @@ def all_queries() -> dict:
     # the same never-recorded reason; it pushes bm25_dismax /
     # bm25_fields / bm25_filter_lang past position 50 (green r3+r4).
     # snapshot_diff / json_extract (newest) lead too, pushing
-    # bm25_msm2 / bm25_prior past position 50 (green r3+r4).
+    # bm25_msm2 / bm25_prior past position 50 (green r3+r4), and the
+    # final five (components, degree_stats, ppr, curate + the trio's
+    # displacement) push bm25_or / bm25_and / prefix_docs /
+    # bm25_coalesce / bm25_rare past position 50 — every displaced
+    # entry is green in BOTH the r3 and r4 driver files.
     return {
         "components": q_components,
         "degree_stats": q_degree_stats,
