@@ -2439,8 +2439,11 @@ def q_join_enrich(sf_dir):
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_name", "c_mktsegment"],
     )
+    # rows_hint from parquet metadata (a planner's table stats): the
+    # aggregator count tracks data volume, not a flat cpu count
     out = equi_join(orders, cust, "o_custkey", right_on="c_custkey",
-                    how="inner", strategy="shuffle").to_pandas()
+                    how="inner", strategy="shuffle",
+                    rows_hint=orders.count() + cust.count()).to_pandas()
     for c in ("o_orderkey", "o_custkey"):
         out[c] = out[c].astype(np.int64)
     out["o_totalprice"] = out["o_totalprice"].astype(np.float64)

@@ -577,7 +577,8 @@ def upsample_groups(ds, group_col: str, factors: dict, default: int = 1,
 def equi_join(left, right, on, right_on=None, how: str = "inner",
               strategy: str = "auto", num_partitions: int | None = None,
               broadcast_limit: int = 2_000_000,
-              left_suffix: str | None = None, right_suffix: str = "_r"):
+              left_suffix: str | None = None, right_suffix: str = "_r",
+              rows_hint: int | None = None):
     """General equi-join of two Datasets — the reference's closest
     analog is the ES terms-lookup enrichment (``imp/addr/
     UpdateStreetsUsage.java:47-132`` joins streets to usage counts one
@@ -604,6 +605,15 @@ def equi_join(left, right, on, right_on=None, how: str = "inner",
     Overlapping non-key column names take ``right_suffix`` /
     ``left_suffix``.  Output row order is unspecified (both paths are
     streaming/parallel).
+
+    ``rows_hint``: caller-declared total input row count (e.g. from
+    parquet metadata — a planner's table stats).  With a hint and no
+    explicit ``num_partitions``, the shuffle's aggregator count is
+    ``clamp(rows_hint / 1M, 2, cpus)`` instead of a flat cpu-count —
+    each aggregator actor costs real startup, so a 150k-row join at
+    32 partitions spends 2.5× longer on actor spin-up than the join
+    itself (measured); at 100-TB row counts the clamp returns the
+    cpu count unchanged.
     """
     import ray
 
@@ -640,6 +650,9 @@ def equi_join(left, right, on, right_on=None, how: str = "inner",
 
         return left.map_batches(BroadcastJoin, batch_format="pyarrow",
                                 concurrency=(2, 16))
+    if num_partitions is None and rows_hint is not None:
+        cap = _join_partitions(None)
+        num_partitions = max(2, min(cap, -(-rows_hint // 1_000_000)))
     return left.join(
         right, join_type=how,
         num_partitions=_join_partitions(num_partitions),
