@@ -164,7 +164,8 @@ def run_bench() -> dict:
                      "token_stats", "join_agg", "decontam", "top_tokens",
                      "events_attrib", "events_asof", "pii_scan",
                      "boilerplate_drop", "pack_spans", "ngram_counts",
-                     "events_scan", "join_enrich"]:
+                     "events_scan", "join_enrich", "pagerank", "curate",
+                     "active_users"]:
             t0 = time.monotonic()
             dq.all_queries()[name](SF_DIR)
             sf_timings[name] = round(time.monotonic() - t0, 3)

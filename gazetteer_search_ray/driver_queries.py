@@ -3283,6 +3283,9 @@ def q_curate(sf_dir):
     train = _mod_split(quality_filter(docs, CURATE_QTH), False)
     kept = drop_exact_duplicates(train)
     out = decontaminate(kept, ev, n=3).to_pandas()
+    if out.empty:  # fully-contaminated corpora yield a schema-less frame
+        return pd.DataFrame({"doc_id": np.array([], np.int64),
+                             "lang": np.array([], str)})
     out["doc_id"] = out["doc_id"].astype(np.int64)
     return out.sort_values("doc_id").reset_index(drop=True)[
         ["doc_id", "lang"]]
