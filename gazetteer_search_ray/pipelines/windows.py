@@ -237,31 +237,34 @@ def rolling_active_users(ds, window_days: int = 7, ts_col: str = "ts",
     ≥1 event in the trailing ``window_days``-day window ending that day.
 
     Scale shape — COUNT DISTINCT over a sliding window without ever
-    shuffling events or holding per-day user sets:
+    shuffling events or holding per-day user sets, ONE linear pipeline
+    (3 exchanges, 1 execution):
 
     1. distinct ``(user, day)`` pairs: per-batch Arrow ``group_by``
        combiner, ONE ``groupby`` exchange (activity-day pairs, not
-       events, cross the wire), then ``materialize()`` — the deduped
-       pair set is the smallest representation of the log and is read
-       by BOTH downstream consumers (window count + observed-day
-       restriction) without recomputing the event scan.  Deduping
-       BEFORE the fan-out matters: a 4M-event A/B measured the
-       dedup-first shape ~1.3× faster than fusing the dedup into the
-       (user, window_end) groupby, because the ×W fan-out otherwise
-       blows up the un-deduped pair volume;
+       events, cross the wire).  Deduping BEFORE the fan-out matters:
+       a 4M-event A/B measured the dedup-first shape ~1.3× faster than
+       fusing the dedup into the (user, window_end) groupby, because
+       the ×W fan-out otherwise blows up the un-deduped pair volume;
     2. vectorized fan-out of each pair to the ``window_days`` window
        END days it covers (``np.repeat`` + tiled offsets — a bounded
-       ×W blow-up of the already-deduped pair set);
-    3. distinct ``(user, window_end)`` via a second combiner+groupby —
-       a user active on several days of one window counts once;
-    4. per-day partial counts (combiner) + ONE tiny ``groupby`` —
-       O(#days) rows reach the driver, restricted to days that
-       actually appear in the log (window ends with no events drop).
+       ×W blow-up of the already-deduped pair set), carrying an
+       ``observed`` flag = 1 on the offset-0 row (window end == the
+       activity day itself) — the observed-day restriction rides the
+       same rows instead of a second consumer + fourth exchange over
+       the pair set;
+    3. distinct ``(user, window_end)`` via a second combiner+groupby
+       (max-merging the flag) — a user active on several days of one
+       window counts once;
+    4. per-day (count, max-flag) partials (combiner) + ONE tiny
+       ``groupby`` — O(#days) rows reach the driver; window ends where
+       no user was active on the end day itself (flag 0 everywhere)
+       are days that never appear in the log and drop.
 
     ``day`` is epoch-days (``epoch_us // 86_400_000_000``), exactly the
     oracle's integer arithmetic.
     """
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Max, Sum
 
     def to_pairs(t: pa.Table) -> pa.Table:
         # normalize to µs first — timestamp[ns] inputs (pandas-born)
@@ -275,38 +278,35 @@ def rolling_active_users(ds, window_days: int = 7, ts_col: str = "ts",
 
     pairs = (ds.select_columns([user_col, ts_col])
              .map_batches(to_pairs, batch_format="pyarrow")
-             .groupby(["u", "day"]).count().drop_columns(["count()"])
-             .materialize())  # deduped + pinned; read by both consumers below
+             .groupby(["u", "day"]).count().drop_columns(["count()"]))
 
     def fan_out(t: pa.Table, _w=window_days) -> pa.Table:
         u = t["u"].to_numpy(zero_copy_only=False)
         d = t["day"].to_numpy(zero_copy_only=False)
         uu = np.repeat(u, _w)
         ww = np.repeat(d, _w) + np.tile(np.arange(_w, dtype=np.int64), len(d))
+        ff = np.tile((np.arange(_w) == 0).astype(np.int64), len(d))
         tab = pa.table({"u": pa.array(uu, pa.int64()),
-                        "w": pa.array(ww, pa.int64())})
-        return tab.group_by(["u", "w"]).aggregate([])
+                        "w": pa.array(ww, pa.int64()),
+                        "f": pa.array(ff, pa.int64())})
+        g = tab.group_by(["u", "w"]).aggregate([("f", "max")])
+        return g.rename_columns(["u", "w", "f"])
 
     cover = (pairs.map_batches(fan_out, batch_format="pyarrow")
-             .groupby(["u", "w"]).count().drop_columns(["count()"]))
+             .groupby(["u", "w"]).aggregate(Max("f", alias_name="f")))
 
     def count_part(t: pa.Table) -> pa.Table:
-        g = t.select(["w"]).group_by(["w"]).aggregate([([], "count_all")])
-        return g.rename_columns(["w", "_pc"])
+        g = t.group_by(["w"]).aggregate([([], "count_all"), ("f", "max")])
+        names = {"count_all": "_pc", "f_max": "_pf"}
+        return g.rename_columns([names.get(c, c) for c in g.column_names])
 
     per_day = (cover.map_batches(count_part, batch_format="pyarrow")
-               .groupby("w").aggregate(Sum("_pc", alias_name="active_users"))
+               .groupby("w").aggregate(Sum("_pc", alias_name="active_users"),
+                                       Max("_pf", alias_name="_obs"))
                .to_pandas())
 
-    # restrict to observed days (the fan-out also lands on the
-    # window_days-1 days after the last event of each user)
-    def day_part(t: pa.Table) -> pa.Table:
-        return pa.table({"day": pc.unique(t["day"])})
-
-    obs = (pairs.map_batches(day_part, batch_format="pyarrow")
-           .groupby("day").count().drop_columns(["count()"])
-           .to_pandas()["day"].to_numpy(np.int64))
-    out = per_day[per_day["w"].isin(obs)].rename(columns={"w": "day"})
+    out = per_day[per_day["_obs"] == 1].rename(columns={"w": "day"})
+    out = out.drop(columns=["_obs"])
     out["day"] = out["day"].astype(np.int64)
     out["active_users"] = out["active_users"].astype(np.int64)
     return out.sort_values("day").reset_index(drop=True)
