@@ -65,6 +65,12 @@ def run_bench() -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # workers stream benign schema-dedup warnings (the driver-written
+        # testdata parquet carries dict-valued schema metadata Ray Data
+        # can't hash) into stdout; the bench contract is ONE JSON line,
+        # so keep worker logs out of the captured tail — failures still
+        # surface as exceptions / nonzero exit
+        log_to_driver=False,
         runtime_env={"env_vars": MALLOC_ENV},
     )
     from ray.data import DataContext
