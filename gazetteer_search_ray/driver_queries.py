@@ -51,8 +51,13 @@ def _prior_from_n_chars(batch: pa.Table) -> np.ndarray:
 
 
 def index_dir_for(sf_dir: str) -> str:
-    # v3: corpus adapter derives synthetic lat/lon docmeta columns
-    key = hashlib.sha1(f"{sf_dir}|simple|v3".encode()).hexdigest()[:12]
+    # v3: corpus adapter derives synthetic lat/lon docmeta columns.
+    # The postings FORMAT_VERSION is part of the key so a codec change
+    # lands in a fresh cache dir instead of tripping the reader's
+    # version guard on a stale prebuilt index.
+    key = hashlib.sha1(
+        f"{sf_dir}|simple|v3|fmt{mf.FORMAT_VERSION}".encode()
+    ).hexdigest()[:12]
     return os.path.join(CACHE_ROOT, key)
 
 

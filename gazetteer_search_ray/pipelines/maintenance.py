@@ -159,10 +159,9 @@ def _decode_rows_flat(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode ALL posting rows of one postings table in one vectorized
     pass → (docs, tfs, group_offsets len rows+1).
 
-    The per-row varbyte streams are concatenated and decoded once; the
-    global delta cumsum is then rebased at each row start (same trick as
-    ``codec.decode_blocks``) — no per-value Python, and per-row Python
-    is limited to the buffer concatenation."""
+    The per-row payloads are concatenated and decoded once (docs are
+    raw LE int64, tfs one varbyte pass) — no per-value Python, and
+    per-row Python is limited to the buffer concatenation."""
     from ..functions.codec import varbyte_decode
 
     dfs = t["df"].to_numpy().astype(np.int64)
@@ -171,17 +170,13 @@ def _decode_rows_flat(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     tfs_bufs = t["tfs"].to_pylist()
     if off[-1] == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64), off
-    gaps = varbyte_decode(
-        np.concatenate([np.frombuffer(b, np.uint8) for b in docs_bufs])
-    )
+    docs = np.concatenate(
+        [np.frombuffer(b, np.uint8) for b in docs_bufs]
+    ).view("<i8").astype(np.int64, copy=False)
     tfs = varbyte_decode(
         np.concatenate([np.frombuffer(b, np.uint8) for b in tfs_bufs])
     ).astype(np.int64)
-    abs_all = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
-    starts = off[:-1]
-    prior = np.where(starts > 0, abs_all[np.maximum(starts - 1, 0)], 0)
-    docs = abs_all - np.repeat(prior, dfs)
-    return docs.astype(np.int64), tfs, off
+    return docs, tfs, off
 
 
 def delete_docs(index_dir: str, doc_ids=None, predicate=None) -> dict:

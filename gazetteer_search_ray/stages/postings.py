@@ -119,7 +119,7 @@ class SortedBlockEncoder:
         inner = t.slice(lo_row, hi_row - lo_row)
         heads = run_heads[1:-1] - lo_row
         docs, row_lens = flat_from_binary_col(inner["docs"], np.dtype("<i8"))
-        docs = docs.astype(np.int64)
+        docs = docs.astype(np.int64, copy=False)
         tfs, _ = varbyte_flat_from_binary_col(inner["tfs"])
         dls, _ = varbyte_flat_from_binary_col(inner["dls"])
         row_off = np.concatenate(([0], np.cumsum(row_lens)))
@@ -157,7 +157,7 @@ def encode_partials_table(t: pa.Table, block_size: int = BLOCK_SIZE) -> pa.Table
     codes = pc.dictionary_encode(t["skey"]).combine_chunks().indices.to_numpy()
     heads = np.concatenate(([0], np.flatnonzero(np.diff(codes) != 0) + 1))
     docs, row_lens = flat_from_binary_col(t["docs"], np.dtype("<i8"))
-    docs = docs.astype(np.int64)
+    docs = docs.astype(np.int64, copy=False)
     tfs, _ = varbyte_flat_from_binary_col(t["tfs"])
     dls, _ = varbyte_flat_from_binary_col(t["dls"])
     row_off = np.concatenate(([0], np.cumsum(row_lens)))
@@ -176,7 +176,7 @@ def make_postings_merger(block_size: int = BLOCK_SIZE):
 
     def merge(group: pa.Table) -> pa.Table:
         docs, _ = flat_from_binary_col(group["docs"], np.dtype("<i8"))
-        docs = docs.astype(np.int64)
+        docs = docs.astype(np.int64, copy=False)
         tfs, _ = varbyte_flat_from_binary_col(group["tfs"])
         dls, _ = varbyte_flat_from_binary_col(group["dls"])
         enc = encode_posting(docs, tfs, dls, block_size)

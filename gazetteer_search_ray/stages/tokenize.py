@@ -124,7 +124,9 @@ def varbyte_flat_from_binary_col(col, delta: bool = False
     ].astype(np.int64)
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
     seg = data[off[0] : off[-1]]
-    vals = varbyte_decode(seg).astype(np.int64)
+    # view, not astype: varbyte payloads are <2^63 so the uint64→int64
+    # reinterpret is exact and saves an 8B/value copy in the hot path
+    vals = varbyte_decode(seg).view(np.int64)
     # value count per row = count of terminal bytes (MSB clear) in span
     ends = np.concatenate(([0], np.cumsum((seg & 0x80) == 0)))
     rel = off - off[0]
@@ -198,6 +200,7 @@ class TokenizeStage:
         score_builder: Callable[[pa.Table], np.ndarray] | None = None,
         compute_sha256: bool = True,
         extra_fields: tuple = (),
+        pack_cap: int = 128,
     ):
         # extra_fields: ((field_name, column_name), ...) — each extra
         # text field indexes as FIELD_SEP-scoped terms with its own
@@ -210,6 +213,7 @@ class TokenizeStage:
         self._nodedup = Analyzer(nodedup)
         self.docmeta_dir = docmeta_dir
         self.num_doc_shards = int(num_doc_shards)
+        self.pack_cap = int(pack_cap)
         self.content_col = content_col
         self.score_builder = score_builder
         self.compute_sha256 = compute_sha256
@@ -410,6 +414,23 @@ class TokenizeStage:
         boundary = np.flatnonzero((np.diff(codes) != 0) | (np.diff(shards) != 0)) + 1
         offsets = np.concatenate(([0], boundary, [m])).astype(np.int64)
         heads = offsets[:-1]
+        # Cap postings per packed row: the sort exchange range-partitions
+        # by ROW count, so one fat row per hot term (≤batch_size docs ≈
+        # 4KB payload vs ~30B for rare terms) makes the top-Zipf key
+        # range a byte-skewed straggler block (measured 6.3× mean bytes
+        # and a 134s/25s-mean encode task at 5.12M docs).  Splitting fat
+        # runs into ≤pack_cap-doc rows makes bytes/row ~uniform so the
+        # row-balancing sampler balances bytes; the encoder already
+        # merges multiple rows per skey, so semantics are unchanged.
+        lens = np.diff(offsets)
+        cap = self.pack_cap
+        if cap and int(lens.max(initial=0)) > cap:
+            nchunks = (lens + cap - 1) // cap
+            total = int(nchunks.sum())
+            cstart = np.cumsum(nchunks) - nchunks
+            within = np.arange(total, dtype=np.int64) - np.repeat(cstart, nchunks)
+            heads = np.repeat(heads, nchunks) + cap * within
+            offsets = np.append(heads, m)
         terms_out = entries["term"].take(pa.array(heads))
         shards_out = entries["shard"].take(pa.array(heads))
         if self.num_doc_shards > 1:

@@ -18,7 +18,7 @@ import shutil
 import uuid
 
 MANIFEST_NAME = "_manifest.json"
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v2: postings "docs" payload is raw LE int64 (was delta+varbyte)
 
 
 def atomic_write_json(path: str, obj: dict) -> None:

@@ -63,6 +63,12 @@ class IndexReader:
         man = mf.read_manifest(index_dir)
         if man is None:
             raise FileNotFoundError(f"no committed index at {index_dir}")
+        ver = int(man.get("format_version", 1))
+        if ver != mf.FORMAT_VERSION:
+            raise ValueError(
+                f"index at {index_dir} has postings format v{ver}; this "
+                f"reader requires v{mf.FORMAT_VERSION} — rebuild the index"
+            )
         self.manifest = man
         self.n_docs = int(man["n_docs"])
         self.avgdl = float(man["avgdl"])
