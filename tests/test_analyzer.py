@@ -141,3 +141,53 @@ def test_load_analyzer_config_from_data_files():
     with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
         _json.dump(_analyzer_dict(custom), f)
     assert load_analyzer_config(f.name) == custom
+
+
+def test_pack_cap_split_preserves_postings():
+    """Partial rows split at pack_cap must merge back to EXACTLY the
+    postings of an uncapped run: same (term -> {doc: (tf, dl)}) map.
+    The cap only bounds bytes/row for the sort exchange's row-balanced
+    range partitioner (stages/tokenize.py pack step); the downstream
+    encoder merges same-skey rows, so semantics must be unchanged."""
+    import tempfile
+
+    import numpy as np
+
+    from gazetteer_search_ray.sources.corpus import (
+        _assign_doc_ids,
+        synthetic_corpus,
+    )
+    from gazetteer_search_ray.stages.tokenize import (
+        TokenizeStage,
+        flat_from_binary_col,
+        varbyte_flat_from_binary_col,
+    )
+
+    t = _assign_doc_ids(synthetic_corpus(400))
+    cfg = AnalyzerConfig.code()
+
+    def postings_map(pack_cap: int) -> dict:
+        with tempfile.TemporaryDirectory() as meta:
+            stage = TokenizeStage(cfg, docmeta_dir=meta, pack_cap=pack_cap)
+            part = stage(t)
+        docs, rl = flat_from_binary_col(part["docs"], np.dtype("<i8"))
+        tfs, _ = varbyte_flat_from_binary_col(part["tfs"])
+        dls, _ = varbyte_flat_from_binary_col(part["dls"])
+        off = np.concatenate(([0], np.cumsum(rl)))
+        out: dict = {}
+        for i, skey in enumerate(part["skey"].to_pylist()):
+            seg = slice(int(off[i]), int(off[i + 1]))
+            grp = out.setdefault(skey, {})
+            for d, f, l in zip(docs[seg], tfs[seg], dls[seg]):
+                assert int(d) not in grp, "duplicate doc within a term"
+                grp[int(d)] = (int(f), int(l))
+        return out
+
+    capped = postings_map(3)
+    uncapped = postings_map(0)
+    assert capped == uncapped
+    # and the cap actually engaged: some hot term was split
+    with tempfile.TemporaryDirectory() as meta:
+        part = TokenizeStage(cfg, docmeta_dir=meta, pack_cap=3)(t)
+    keys = part["skey"].to_pylist()
+    assert len(keys) > len(set(keys))
