@@ -397,8 +397,8 @@ class TokenizeStage:
         for pfx, ff, fp, fdl in fields:
             entry_parts.append(
                 self._field_entries(ff, fp, fdl, doc_ids, pfx))
-        # doc ascending within each (term, shard) run so the payload
-        # delta-varbyte encodes (interior deltas strictly positive)
+        # doc ascending within each (term, shard) run so the final
+        # encoder's duplicate check and block metadata see sorted ids
         entries = (
             entry_parts[0] if len(entry_parts) == 1
             else pa.concat_tables(entry_parts, promote_options="default")
