@@ -1694,6 +1694,12 @@ def all_queries() -> dict:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "approx_distinct": q_approx_distinct,
+        # round-5 closers, registered past position 50 deliberately:
+        # the 50 driver-recorded slots stay reserved for entries that
+        # have never had a driver row; these are verified by
+        # tools/check_driver_contract.py at HEAD instead
+        "chunk_text": q_chunk_text,
+        "chunk_tokens": q_chunk_tokens,
     }
 
 
@@ -1720,6 +1726,7 @@ def all_oracle_sql() -> dict:
     sql.update(GRAPH_SQL)
     sql.update(DIFF_SQL)
     sql.update(CURATE_SQL)
+    sql.update(CHUNK_SQL)
     return sql
 
 
@@ -2308,6 +2315,74 @@ freq AS (SELECT ngram FROM g GROUP BY ngram
 SELECT doc_id, (pos - 1)::BIGINT AS pos, ngram
 FROM g JOIN freq USING (ngram)
 ORDER BY doc_id, pos""",
+}
+
+
+# ---------------------------------------------------------------------------
+# passage chunking (chunking.chunk_text / chunk_tokens)
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 200      # chars per chunk_text window
+CHUNK_STRIDE = 150    # 50-char overlap
+TCHUNK_SIZE = 50      # tokens per chunk_tokens window
+TCHUNK_STRIDE = 40    # 10-token overlap
+
+
+def q_chunk_text(sf_dir):
+    """RAG-style passage chunking: fixed 200-codepoint windows with
+    50-char overlap, exploded in an embarrassingly-parallel
+    ``map_batches`` vectorized by chunk index."""
+    from .pipelines.chunking import chunk_text
+
+    out = chunk_text(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        size=CHUNK_SIZE, stride=CHUNK_STRIDE,
+    ).to_pandas()
+    for c in ("doc_id", "chunk_id"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
+def q_chunk_tokens(sf_dir):
+    """Token-window chunking: 50 whitespace tokens per window, stride
+    40 (matches SQL ``string_split(text, ' ')`` exactly, empty fields
+    preserved)."""
+    from .pipelines.chunking import chunk_tokens
+
+    out = chunk_tokens(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        size=TCHUNK_SIZE, stride=TCHUNK_STRIDE,
+    ).to_pandas()
+    for c in ("doc_id", "chunk_id", "n_tokens"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
+CHUNK_SQL = {
+    # generate_series is inclusive: k ranges over 0..floor((L-1)/stride),
+    # i.e. floor((L-1)/stride)+1 windows; substr is 1-based
+    "chunk_text": f"""SELECT d.doc_id,
+       g.k::BIGINT AS chunk_id,
+       substr(d.text, g.k*{CHUNK_STRIDE}+1, {CHUNK_SIZE}) AS chunk
+FROM documents d,
+     LATERAL (SELECT unnest(range(0,
+              ((length(d.text)-1)//{CHUNK_STRIDE})+1)) AS k) g
+WHERE length(d.text) > 0
+ORDER BY doc_id, chunk_id""",
+    # list slice a[i:j] is 1-based inclusive; string_split always
+    # yields >= 1 field so no empty-doc guard is needed
+    "chunk_tokens": f"""WITH arr AS (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents)
+SELECT doc_id, g.k::BIGINT AS chunk_id,
+       least(len(a) - g.k*{TCHUNK_STRIDE}, {TCHUNK_SIZE})::BIGINT
+         AS n_tokens,
+       array_to_string(
+         a[g.k*{TCHUNK_STRIDE}+1 : g.k*{TCHUNK_STRIDE}+{TCHUNK_SIZE}],
+         ' ') AS chunk
+FROM arr,
+     LATERAL (SELECT unnest(range(0,
+              ((len(a)-1)//{TCHUNK_STRIDE})+1)) AS k) g
+ORDER BY doc_id, chunk_id""",
 }
 
 
