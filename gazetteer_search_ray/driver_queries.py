@@ -1700,6 +1700,7 @@ def all_queries() -> dict:
         # tools/check_driver_contract.py at HEAD instead
         "chunk_text": q_chunk_text,
         "chunk_tokens": q_chunk_tokens,
+        "sink_roundtrip": q_sink_roundtrip,
     }
 
 
@@ -2358,7 +2359,41 @@ def q_chunk_tokens(sf_dir):
     return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
 
 
+def q_sink_roundtrip(sf_dir):
+    """Resumable partitioned sink round-trip: documents →
+    ``write_partitioned`` (16 hash partitions, atomic per-partition
+    commit + manifest) → ``read_partitioned`` → per-source aggregate.
+    The oracle aggregates the source table directly, so a row lost or
+    duplicated by the sink's commit/resume machinery breaks the hash."""
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Count, Sum
+
+    from .pipelines.sink import read_partitioned, write_partitioned
+
+    out = tempfile.mkdtemp(prefix="gsr_sink_")
+    try:
+        path = os.path.join(out, "docs")
+        write_partitioned(
+            _docs(sf_dir).select_columns(["doc_id", "source", "lang"]),
+            path, "doc_id", num_partitions=16)
+        got = read_partitioned(path) \
+            .groupby("source") \
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("doc_id", alias_name="sum_id")) \
+            .to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    got["n_docs"] = got["n_docs"].astype(np.int64)
+    got["sum_id"] = got["sum_id"].astype(np.int64)
+    return got.sort_values("source").reset_index(drop=True)
+
+
 CHUNK_SQL = {
+    "sink_roundtrip": """SELECT source,
+       count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS sum_id
+FROM documents GROUP BY source ORDER BY source""",
     # generate_series is inclusive: k ranges over 0..floor((L-1)/stride),
     # i.e. floor((L-1)/stride)+1 windows; substr is 1-based
     "chunk_text": f"""SELECT d.doc_id,
