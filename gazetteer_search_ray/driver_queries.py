@@ -1701,6 +1701,7 @@ def all_queries() -> dict:
         "chunk_text": q_chunk_text,
         "chunk_tokens": q_chunk_tokens,
         "sink_roundtrip": q_sink_roundtrip,
+        "char_entropy": q_char_entropy,
     }
 
 
@@ -2359,6 +2360,18 @@ def q_chunk_tokens(sf_dir):
     return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
 
 
+def q_char_entropy(sf_dir):
+    """Per-doc codepoint Shannon entropy (binary-junk / low-diversity
+    quality signal): one shuffle-free vectorized pass."""
+    from .pipelines.textstats import char_entropy
+
+    out = char_entropy(
+        _docs(sf_dir).select_columns(["doc_id", "text"])).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_chars"] = out["n_chars"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_sink_roundtrip(sf_dir):
     """Resumable partitioned sink round-trip: documents →
     ``write_partitioned`` (16 hash partitions, atomic per-partition
@@ -2391,6 +2404,18 @@ def q_sink_roundtrip(sf_dir):
 
 
 CHUNK_SQL = {
+    # string_split(text,'') and length() are codepoint-level in DuckDB,
+    # matching the kernel's UTF-32 view and Python len()
+    "char_entropy": """WITH ch AS (
+  SELECT doc_id, length(text)::BIGINT AS n_chars,
+         unnest(string_split(text, '')) AS c
+  FROM documents WHERE length(text) > 0),
+f AS (SELECT doc_id, any_value(n_chars) AS n_chars, c,
+             count(*)::DOUBLE AS n
+      FROM ch GROUP BY doc_id, c)
+SELECT doc_id, any_value(n_chars) AS n_chars,
+       -sum((n / n_chars) * log2(n / n_chars)) AS entropy
+FROM f GROUP BY doc_id ORDER BY doc_id""",
     "sink_roundtrip": """SELECT source,
        count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS sum_id
 FROM documents GROUP BY source ORDER BY source""",

@@ -807,3 +807,56 @@ def tfidf_top_terms(ds, k: int = 5, text_col: str = "text",
     scored = joined.map_batches(score, batch_format="pyarrow")
     out = grouped_topk(scored, id_col, "score", k, id_col="term")
     return out.reset_index(drop=True)  # (doc_id, term, score)
+
+
+def char_entropy(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document character (codepoint) Shannon entropy — the
+    classic binary-junk / low-diversity quality signal (low-entropy
+    docs are padding, generated repetition or base64-ish blobs;
+    Gopher/C4-style filters threshold on it).
+
+    Shuffle-free single pass.  The kernel is vectorized per BATCH, not
+    per row: all texts decode into one uint32 codepoint array
+    (UTF-32LE view), a single lexsort groups (row, codepoint) runs and
+    one subtract/reduceat cascade yields per-run counts → per-row
+    -Σ p·log2 p.  Empty docs are skipped (entropy undefined), matching
+    the SQL oracle's ``WHERE length(text) > 0``.
+
+    Columns out: (id_col, n_chars int64, entropy float64).
+    """
+
+    def kernel(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        ids = t[id_col].to_numpy()
+        lens = np.array([len(x) if x else 0 for x in texts],
+                        dtype=np.int64)
+        keep = lens > 0
+        if not keep.any():
+            return pa.table({id_col: pa.array([], t[id_col].type),
+                             "n_chars": pa.array([], pa.int64()),
+                             "entropy": pa.array([], pa.float64())})
+        joined = "".join(texts)
+        codes = np.frombuffer(
+            joined.encode("utf-32-le"), dtype=np.uint32)
+        rows = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+        order = np.lexsort((codes, rows))
+        rs, cs = rows[order], codes[order]
+        # run starts: row change OR codepoint change
+        starts = np.empty(cs.size, dtype=bool)
+        starts[0] = True
+        np.not_equal(cs[1:], cs[:-1], out=starts[1:])
+        starts[1:] |= rs[1:] != rs[:-1]
+        start_idx = np.flatnonzero(starts)
+        run_counts = np.diff(np.append(start_idx, cs.size))
+        run_rows = rs[start_idx]
+        p = run_counts / lens[run_rows]
+        contrib = -p * np.log2(p)
+        ent = np.zeros(len(texts), dtype=np.float64)
+        np.add.at(ent, run_rows, contrib)
+        return pa.table({
+            id_col: pa.array(ids[keep]),
+            "n_chars": pa.array(lens[keep]),
+            "entropy": pa.array(ent[keep], pa.float64()),
+        })
+
+    return ds.map_batches(kernel, batch_format="pyarrow")

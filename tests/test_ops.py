@@ -989,3 +989,37 @@ def test_data_mixing_matches_brute(ray_session):
     assert (per["count"] == fs.loc[per.index]).all()
     assert (per["min"] == 0).all()
     assert (per["max"] == fs.loc[per.index] - 1).all()
+
+
+def test_char_entropy_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.textstats import char_entropy
+
+    texts = ["aab", "", "único x", "zzzzzzzz", "ab" * 500 + "c",
+             "á🎉x🎉", "  \n\t mixed WS  "]
+    df_in = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                          "text": texts})
+    got = char_entropy(rd.from_pandas(df_in)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", df_in)
+    want = con.execute("""
+WITH ch AS (
+  SELECT doc_id, length(text)::BIGINT AS n_chars,
+         unnest(string_split(text, '')) AS c
+  FROM documents WHERE length(text) > 0),
+f AS (SELECT doc_id, any_value(n_chars) AS n_chars, c,
+             count(*)::DOUBLE AS n FROM ch GROUP BY doc_id, c)
+SELECT doc_id, any_value(n_chars) AS n_chars,
+       -sum((n / n_chars) * log2(n / n_chars)) AS entropy
+FROM f GROUP BY doc_id ORDER BY doc_id""").fetchdf()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["n_chars"].tolist() == want["n_chars"].tolist()
+    np.testing.assert_allclose(got["entropy"], want["entropy"],
+                               atol=1e-9)
+    # constant text has zero entropy; uniform text hits log2(len)
+    z = got.set_index("doc_id")["entropy"]
+    assert z[3] == 0.0
+    assert abs(z[2] - np.log2(7)) < 1e-9
