@@ -200,6 +200,9 @@ def build_index(ds, index_dir: str, opts: BuildOptions | None = None, overwrite:
         "total_tokens": total_tokens,
         "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
         "fields": field_stats,
+        # (field, source column) pairs so maintenance jobs
+        # (update_index) can rebuild segments with the same mapping
+        "extra_fields": [list(p) for p in opts.extra_fields],
         "block_size": opts.block_size,
         "num_doc_shards": opts.num_doc_shards,
         "analyzer": _analyzer_dict(opts.analyzer_config),

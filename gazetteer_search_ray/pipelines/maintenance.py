@@ -136,6 +136,10 @@ def update_index(index_dir: str, ds, score_builder=None,
         block_size=int(man.get("block_size", 128)),
         num_doc_shards=int(man.get("num_doc_shards", 1)),
         score_builder=score_builder,
+        # carry the per-field mapping: without it an update segment
+        # silently drops field postings + dl__<field> norms
+        extra_fields=tuple(
+            tuple(p) for p in (man.get("extra_fields") or ())),
     )
     seg_man = build_index(ds, seg_dir, opts, overwrite=True)
 
@@ -342,3 +346,184 @@ def snapshot_diff(old, new, id_col: str = "doc_id",
                          "status": pa.array(status[keep])})
 
     return j.map_batches(classify, batch_format="pyarrow")
+
+
+def force_merge(index_dir: str, sort_partitions: int | None = None,
+                pack_cap: int = 128) -> dict:
+    """Merge ALL index segments into one — the ES ``_forcemerge`` /
+    Lucene segment-merge analog for this engine's explicit lifecycle
+    (reference runs on ES where incremental ``--update`` imports leave
+    one Lucene segment per bulk generation; queries then pay a
+    per-segment dictionary probe + k-way doc merge per term).
+
+    Ray-Data-first: postings rows of every segment stream through ONE
+    ``map_batches`` repack (decode → per-doc true lengths from the
+    broadcast docmeta arrays → partial-postings rows, hot terms split
+    at ``pack_cap`` docs/row exactly like the build) into the build
+    pipeline's own ``sort("skey")`` exchange + ``SortedBlockEncoder``
+    + boundary merge — so merged segments are byte-compatible with
+    fresh builds and block-max metadata (``block_min_dl`` etc.) stays
+    exact.  Docmeta files are copied as-is (doc ids are disjoint across
+    segments by the ``update_index`` delete-first contract).
+
+    Crash-safe: the new ``merged-<gen>`` directory is built complete,
+    the top manifest re-commit (temp+rename) is the atomic cut-over,
+    and only then are the old segment dirs removed; stray ``merged-*``
+    dirs from a crashed merge are cleaned at entry.  n_docs /
+    total_tokens / per-field avgdl are unchanged (no rows added or
+    dropped), ``import_counter`` bumps (M16 generation semantics).
+
+    The broadcast (doc_id, dl, dl__field…) arrays are O(n_docs) — the
+    same bound :func:`delete_docs` and the query readers already hold.
+    """
+    import shutil
+
+    import ray
+    import ray.data as rd
+
+    from ..stages.postings import (
+        SHARD_SEP,
+        SortedBlockEncoder,
+        encode_partials_table,
+    )
+    from ..stages.tokenize import (
+        FIELD_SEP,
+        binary_rows_from_flat,
+        varbyte_rows,
+    )
+
+    man = mf.read_manifest(index_dir)
+    if man is None:
+        raise FileNotFoundError(f"no committed index at {index_dir}")
+    committed = set(man.get("segments") or ["."])
+    for name in sorted(os.listdir(index_dir)):
+        if name.startswith("merged-") and name not in committed:
+            shutil.rmtree(os.path.join(index_dir, name))  # crashed merge
+    segs = _segment_dirs(index_dir)
+    if len(segs) <= 1:
+        return man  # already one segment — no-op
+
+    # ---- broadcast true doc lengths (main + per-field) -----------------
+    import pyarrow.dataset as pads
+
+    meta_ds = pads.dataset(
+        [pads.dataset(os.path.join(s, "docmeta"), format="parquet")
+         for s in segs])
+    field_cols = sorted(c for c in meta_ds.schema.names
+                        if c.startswith("dl__"))
+    mt = meta_ds.to_table(columns=["doc_id", "dl"] + field_cols)
+    order = pc.sort_indices(mt["doc_id"])
+    mt = mt.take(order)
+    ids_sorted = mt["doc_id"].to_numpy()
+    dl_ref = ray.put((
+        ids_sorted,
+        mt["dl"].to_numpy().astype(np.int64),
+        {c[4:]: mt[c].to_numpy().astype(np.int64) for c in field_cols},
+    ))
+
+    gen = int(man.get("import_counter", 0)) + 1
+    new_name = f"merged-{gen:05d}"
+    new_dir = os.path.join(index_dir, new_name)
+    postings_dir = os.path.join(new_dir, "postings")
+    dm_dir = os.path.join(new_dir, "docmeta")
+    os.makedirs(postings_dir)
+    os.makedirs(dm_dir)
+    for i, s in enumerate(segs):
+        sdm = os.path.join(s, "docmeta")
+        for fname in sorted(os.listdir(sdm)):
+            if fname.endswith(".parquet"):
+                shutil.copy2(os.path.join(sdm, fname),
+                             os.path.join(dm_dir, f"s{i:03d}-{fname}"))
+
+    num_doc_shards = int(man.get("num_doc_shards", 1))
+    block_size = int(man.get("block_size", 128))
+
+    def repack(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            from ..stages.tokenize import PARTIAL_SCHEMA
+
+            return PARTIAL_SCHEMA.empty_table()
+        docs, tfs, off = _decode_rows_flat(t)
+        ids, dl_main, dl_fields = ray.get(dl_ref)
+        dls = dl_main[np.searchsorted(ids, docs)]
+        term_col = pc.cast(t["term"].combine_chunks(), pa.string())
+        if dl_fields:
+            lens = np.diff(off)
+            row_of = np.repeat(np.arange(t.num_rows), lens)
+            for fname, farr in sorted(dl_fields.items()):
+                frows = pc.starts_with(
+                    term_col, pattern=fname + FIELD_SEP
+                ).to_numpy(zero_copy_only=False)
+                if frows.any():
+                    sel = frows[row_of]
+                    dls[sel] = farr[np.searchsorted(ids, docs[sel])]
+        # skey (matches TokenizeStage): term alone for 1 shard, else
+        # term<SEP>shard
+        if num_doc_shards > 1:
+            # TokenizeStage zero-pads: "term\x1f<shard:04d>"
+            skey_src = pc.binary_join_element_wise(
+                term_col,
+                pc.utf8_lpad(
+                    pc.cast(t["shard"].combine_chunks(), pa.string()),
+                    width=4, padding="0"),
+                SHARD_SEP)
+        else:
+            skey_src = term_col
+        # pack_cap split (vectorized): byte-uniform partial rows so hot
+        # terms can't skew one sort range
+        lens = np.diff(off)
+        nsub = np.maximum(1, -(-lens // pack_cap))
+        tot = int(nsub.sum())
+        first = np.concatenate(([0], np.cumsum(nsub)))[:-1]
+        intra = np.arange(tot) - np.repeat(first, nsub)
+        starts = np.repeat(off[:-1], nsub) + intra * pack_cap
+        row_offsets = np.append(starts, off[-1])
+        rep_idx = pa.array(np.repeat(np.arange(t.num_rows), nsub))
+        skey_arr = pc.take(skey_src, rep_idx)
+        return pa.table({
+            "skey": skey_arr,
+            "docs": binary_rows_from_flat(
+                docs.astype("<i8"), row_offsets),
+            "tfs": varbyte_rows(tfs, row_offsets),
+            "dls": varbyte_rows(dls.astype(np.int64), row_offsets),
+        })
+
+    pfiles = []
+    for s in segs:
+        pdir = os.path.join(s, "postings")
+        pfiles += [os.path.join(pdir, f) for f in sorted(os.listdir(pdir))
+                   if f.endswith(".parquet")]
+    partials = rd.read_parquet(pfiles, partitioning=None) \
+        .map_batches(repack, batch_format="pyarrow")
+
+    from ray.data import DataContext
+
+    DataContext.get_current().use_polars_sort = True
+    n_blocks = sort_partitions or max(
+        8, min(512, 4 * int(ray.cluster_resources().get("CPU", 8))))
+    sorted_partials = partials.repartition(n_blocks).sort("skey")
+    boundary = sorted_partials.map_batches(
+        SortedBlockEncoder(postings_dir, block_size),
+        batch_format="pyarrow", batch_size=None,
+    ).materialize()
+    tbl = pa.concat_tables(
+        [ray.get(r) for r in boundary.to_arrow_refs()],
+        promote_options="permissive")
+    rest = encode_partials_table(tbl, block_size)
+    if rest.num_rows:
+        mf.atomic_write_table(
+            rest, os.path.join(postings_dir, "postings-boundary.parquet"))
+
+    old_dirs = [s for s in segs]
+    man.pop("format_version", None)
+    man["segments"] = [new_name]
+    man["import_counter"] = gen
+    mf.write_manifest(index_dir, man)  # atomic cut-over
+    for s in old_dirs:
+        if os.path.abspath(s) == os.path.abspath(index_dir):
+            # "." root segment: remove its data dirs, keep the root
+            for sub in ("postings", "docmeta"):
+                shutil.rmtree(os.path.join(s, sub), ignore_errors=True)
+        else:
+            shutil.rmtree(s, ignore_errors=True)
+    return mf.read_manifest(index_dir)

@@ -526,3 +526,101 @@ def test_topk_approx_band_matches_exact(searcher):
             eng.dense_enabled = True
             np.testing.assert_array_equal(d0, d1)
             np.testing.assert_array_equal(s0, s1)  # bit-identical floats
+
+
+def test_force_merge_preserves_results(ray_session):
+    """ES _forcemerge analog: after two incremental updates (3
+    segments), merging to one segment must leave every query's doc ids
+    AND BM25 scores bit-identical (global df/avgdl merge at read time
+    is already exact; the merge just relocates postings)."""
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.maintenance import (
+        force_merge,
+        update_index,
+    )
+
+    base = f"{BASE}/idx_fm"
+    shutil.rmtree(base, ignore_errors=True)
+    files = write_synthetic_corpus(f"{BASE}/corpus_fm", n_docs=200, n_files=2)
+    build_index(
+        read_corpus(files), base,
+        BuildOptions(analyzer_config=AnalyzerConfig.code(), batch_size=64,
+                     num_doc_shards=2),
+    )
+    s0 = Searcher(base)
+    ids0 = s0.reader.doc_ids
+    update_index(base, rd.from_items(
+        [{"doc_id": int(ids0[i]), "content": f"zzmerged body alpha {i}"}
+         for i in range(8)]))
+    update_index(base, rd.from_items(
+        [{"doc_id": 20_000 + i, "content": f"zzmerged fresh beta {i}"}
+         for i in range(5)]))
+
+    man_before = Searcher(base).reader.manifest \
+        if hasattr(Searcher(base).reader, "manifest") else None
+    s1 = Searcher(base)
+    queries = ["zzmerged", "def", "sort merge", "alpha beta"]
+    before = {q: s1.search(q, k=30, use_prior=False) for q in queries}
+    n1, tok1 = s1.reader.n_docs, s1.reader.doc_ids.size
+
+    import gazetteer_search_ray.state.manifest as mf
+    pre_man = mf.read_manifest(base)
+    assert len(pre_man["segments"]) == 3  # ".", upd-, upd-
+
+    man = force_merge(base)
+    assert man["segments"] == [f"merged-{man['import_counter']:05d}"]
+    assert man["n_docs"] == pre_man["n_docs"]
+    assert man["total_tokens"] == pre_man["total_tokens"]
+    assert not os.path.isdir(os.path.join(base, "postings"))  # old root seg
+    assert not any(d.startswith("upd-") for d in os.listdir(base))
+
+    s2 = Searcher(base)
+    assert s2.reader.n_docs == n1 and s2.reader.doc_ids.size == tok1
+    for q in queries:
+        after = s2.search(q, k=30, use_prior=False)
+        assert [h["doc_id"] for h in after] == \
+            [h["doc_id"] for h in before[q]]
+        np.testing.assert_allclose(
+            [h["score"] for h in after],
+            [h["score"] for h in before[q]], rtol=0, atol=1e-12)
+    # idempotent: merging a single segment is a no-op
+    man2 = force_merge(base)
+    assert man2["segments"] == man["segments"]
+
+
+def test_force_merge_per_field_norms(ray_session):
+    """Merged per-field postings must keep field-scoped block_min_dl
+    from the FIELD dl (dl__src), not the main dl — per-field BM25
+    scores stay bit-identical."""
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.maintenance import (
+        force_merge,
+        update_index,
+    )
+    from gazetteer_search_ray.pipelines.query import Bool, Term
+
+    base = f"{BASE}/idx_fmf"
+    shutil.rmtree(base, ignore_errors=True)
+    files = write_synthetic_corpus(f"{BASE}/corpus_fmf", n_docs=120,
+                                   n_files=2)
+    build_index(
+        read_corpus(files), base,
+        BuildOptions(analyzer_config=AnalyzerConfig.code(), batch_size=64,
+                     extra_fields=(("src", "repo"),)),
+    )
+    s0 = Searcher(base)
+    update_index(base, rd.from_items(
+        [{"doc_id": int(s0.reader.doc_ids[i]),
+          "content": f"zzfield update {i}", "repo": f"repo-{i % 3}"}
+         for i in range(6)]))
+
+    s1 = Searcher(base)
+    plan = Bool(should=(Term("def"), Term("repo-1", field="src")))
+    docs_b, scores_b = s1.engine.top_k(plan, 25)
+    force_merge(base)
+    s2 = Searcher(base)
+    docs_a, scores_a = s2.engine.top_k(plan, 25)
+    np.testing.assert_array_equal(docs_a, docs_b)
+    np.testing.assert_allclose(scores_a, scores_b, rtol=0, atol=1e-12)
