@@ -109,6 +109,49 @@ def get_fields_searcher(sf_dir: str) -> Searcher:
     return s
 
 
+def get_merged_searcher(sf_dir: str) -> Searcher:
+    """Searcher over the LIFECYCLE index: built from half the corpus,
+    grown by two incremental ``update_index`` imports (3 segments on
+    disk), then ``force_merge``'d back to ONE segment — the ES
+    ``_forcemerge`` analog (reference's ``--update`` import mode,
+    `imp/addr/AddressesImporter.java:87-96`, leaves one Lucene segment
+    per bulk generation).  Query results over the merged index must be
+    bit-identical to a fresh full-corpus build, so the entry shares the
+    plain BM25 SQL oracle — a hash match proves
+    build → update → update → merge ≡ one-shot build."""
+    key = "fm:" + sf_dir
+    s = _searchers.get(key)
+    if s is not None:
+        return s
+    idx = index_dir_for(sf_dir) + "-fm"
+    if not mf.is_committed(idx):
+        from .pipelines.maintenance import force_merge, update_index
+
+        ds = documents_as_corpus(sf_dir)
+
+        def _mod_keep(mods: tuple[int, ...]):
+            def f(t: pa.Table) -> pa.Table:
+                ids = t["doc_id"].to_numpy().astype(np.int64)
+                return t.filter(pa.array(np.isin(ids % 4, mods)))
+
+            return f
+
+        build_index(
+            ds.map_batches(_mod_keep((0, 1)), batch_format="pyarrow"),
+            idx,
+            BuildOptions(analyzer_config=AnalyzerConfig.simple()),
+        )
+        update_index(
+            idx, ds.map_batches(_mod_keep((2,)), batch_format="pyarrow"))
+        update_index(
+            idx, ds.map_batches(_mod_keep((3,)), batch_format="pyarrow"))
+        man = force_merge(idx)
+        assert len(man["segments"]) == 1, man["segments"]
+    s = Searcher(idx)
+    _searchers[key] = s
+    return s
+
+
 def _round(a: np.ndarray, nd: int = 6) -> np.ndarray:
     return np.round(a, nd)
 
@@ -234,6 +277,17 @@ def q_bm25_hot(sf_dir):
 
 def q_bm25_or(sf_dir):
     return _topk(sf_dir, Bool(should=tuple(Term(t) for t in OR3)))
+
+
+def q_force_merge(sf_dir):
+    """S3 lifecycle end-to-end: the OR3 top-k over the
+    build→update→update→force_merge index (see get_merged_searcher);
+    oracle is the plain full-corpus BM25 SQL, so a hash match proves
+    the whole segment lifecycle preserves scores exactly."""
+    s = get_merged_searcher(sf_dir)
+    docs, scores = s.engine.top_k(
+        Bool(should=tuple(Term(t) for t in OR3)), 20)
+    return _topk_frame(docs, scores, 6)
 
 
 def q_bm25_and(sf_dir):
@@ -1702,6 +1756,7 @@ def all_queries() -> dict:
         "chunk_tokens": q_chunk_tokens,
         "sink_roundtrip": q_sink_roundtrip,
         "char_entropy": q_char_entropy,
+        "force_merge": q_force_merge,
     }
 
 
@@ -1729,6 +1784,9 @@ def all_oracle_sql() -> dict:
     sql.update(DIFF_SQL)
     sql.update(CURATE_SQL)
     sql.update(CHUNK_SQL)
+    # segment-lifecycle entry: merged index must equal a fresh build,
+    # so it shares the plain OR3 BM25 oracle
+    sql["force_merge"] = _bm25_topk_sql(OR3)
     return sql
 
 
