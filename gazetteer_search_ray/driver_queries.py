@@ -921,6 +921,20 @@ def q_top_tokens(sf_dir):
     return out
 
 
+def q_top_tokens_lang(sf_dir):
+    """Per-language top-10 tokens (data-mixing vocabulary audit):
+    per-group Misra-Gries partials → one fused-key groupby exchange →
+    grouped_topk distributed k-selection.  Exact at this capacity."""
+    from .pipelines.textstats import top_tokens_by_group
+
+    out = top_tokens_by_group(
+        _docs(sf_dir).select_columns(["lang", "text"]),
+        k=10, group_col="lang")
+    out["rank"] = out["rank"].astype(np.int64)
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out.sort_values(["lang", "rank"]).reset_index(drop=True)
+
+
 def q_token_count_bpe(sf_dir):
     from .pipelines.textstats import token_count_bpe
 
@@ -1332,6 +1346,18 @@ EXTRA_SQL = {
         "tc AS (SELECT term, count(*)::BIGINT AS cnt FROM tok2 GROUP BY term) "
         "SELECT row_number() OVER (ORDER BY cnt DESC, term)::BIGINT AS rank, "
         "term, cnt FROM tc ORDER BY cnt DESC, term LIMIT 30"
+    ),
+    "top_tokens_lang": (
+        "WITH gtok AS ("
+        "  SELECT lang, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term"
+        "  FROM documents"
+        "), gtok2 AS (SELECT lang, term FROM gtok WHERE term <> ''), "
+        "gc AS (SELECT lang, term, count(*)::BIGINT AS cnt FROM gtok2 GROUP BY lang, term), "
+        "rk AS (SELECT lang, term, cnt, "
+        "       row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term)::BIGINT AS rank "
+        "       FROM gc) "
+        "SELECT lang, rank, term, cnt FROM rk WHERE rank <= 10 "
+        "ORDER BY lang, rank"
     ),
     # repetition: whitespace n-gram counts per doc; <n-token docs fall
     # back to the single whole-text shingle (dedup._shingles rule)
@@ -1757,6 +1783,7 @@ def all_queries() -> dict:
         "sink_roundtrip": q_sink_roundtrip,
         "char_entropy": q_char_entropy,
         "force_merge": q_force_merge,
+        "top_tokens_lang": q_top_tokens_lang,
     }
 
 

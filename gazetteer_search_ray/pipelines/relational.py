@@ -283,7 +283,8 @@ def grouped_topk(ds, group_col: str, val_col: str, k: int,
     def partial(t: pa.Table) -> pa.Table:
         g = np.asarray(t[group_col].to_pylist(), dtype=object)
         v = t[val_col].to_numpy()
-        i = t[id_col].to_numpy()
+        # zero_copy_only=False: id may be a string column (e.g. a term)
+        i = t[id_col].to_numpy(zero_copy_only=False)
         # sort (group asc, val desc, id asc), keep first k of each run
         order = np.lexsort((i, -v, g))
         gs = g[order]

@@ -490,6 +490,93 @@ def top_tokens(ds, k: int = 30, capacity: int = 100_000,
     return agg[["rank", "term", "cnt"]]
 
 
+def top_tokens_by_group(ds, k: int = 10, capacity: int = 100_000,
+                        text_col: str = "text", group_col: str = "lang"):
+    """Top-k tokens PER GROUP (e.g. per language) — the data-mixing
+    vocabulary audit (`row_number() OVER (PARTITION BY lang ORDER BY
+    cnt DESC, term) <= k` over token counts).
+
+    Same tokenization + Misra-Gries truncation as :func:`top_tokens`,
+    keyed by (group, term): each batch reduces to ≤ ``capacity``
+    (group, term, cnt) rows per group it contains, the partials merge
+    through ONE ``groupby(group<US>term).sum`` exchange (keys fused
+    into one string so the exchange has a single hash column), and the
+    per-group k-selection rides :func:`relational.grouped_topk`'s
+    distributed merge — nothing group- or vocabulary-sized lands on
+    the driver.  Exact when ``capacity`` ≥ distinct terms per group
+    per batch (the oracle configuration); below it, per-group counts
+    obey the Misra-Gries N_g/(capacity+1) bound.
+
+    Ties break (cnt desc, term asc); output (group, rank, term, cnt)
+    sorted (group, rank).
+    """
+    from ..functions.sketch import mg_truncate
+    from .relational import grouped_topk
+
+    SEP = "\x1f"
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"key": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        s = pc.utf8_lower(pc.cast(t[text_col].combine_chunks(), pa.string()))
+        lst = pc.split_pattern_regex(s, pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(lst)
+        parent = pc.list_parent_indices(lst)
+        mask = pc.not_equal(flat, "")
+        flat = flat.filter(mask)
+        parent = parent.filter(mask)
+        grp = pc.take(pc.cast(t[group_col].combine_chunks(), pa.string()),
+                      parent)
+        cnt = (
+            pa.table({"grp": grp, "term": flat})
+            .group_by(["grp", "term"], use_threads=False)
+            .aggregate([("term", "count")])
+        )
+        if cnt.num_rows == 0:
+            return empty
+        gs = np.asarray(cnt["grp"].to_pylist(), dtype=object)
+        terms = np.asarray(cnt["term"].to_pylist(), dtype=object)
+        counts = cnt["term_count"].to_numpy().astype(np.int64)
+        order = np.argsort(gs, kind="stable")
+        gs, terms, counts = gs[order], terms[order], counts[order]
+        heads = np.concatenate(
+            ([0], np.flatnonzero(gs[1:] != gs[:-1]) + 1, [gs.size]))
+        out_k, out_c = [], []
+        for s0, e0 in zip(heads[:-1], heads[1:]):
+            it, ct = mg_truncate(terms[s0:e0], counts[s0:e0], capacity)
+            out_k.append(np.char.add(str(gs[s0]) + SEP, it.astype(str)))
+            out_c.append(ct)
+        return pa.table({
+            "key": pa.array(np.concatenate(out_k)),
+            "cnt": pa.array(np.concatenate(out_c)),
+        })
+
+    merged = (
+        ds.select_columns([group_col, text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .sum("cnt")
+    )
+
+    def unfuse(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["key"].combine_chunks(), SEP,
+                                 max_splits=1)
+        return pa.table({
+            "grp": pc.list_element(parts, 0),
+            "term": pc.list_element(parts, 1),
+            "cnt": pc.cast(t["sum(cnt)"].combine_chunks(), pa.int64()),
+        })
+
+    top = grouped_topk(merged.map_batches(unfuse, batch_format="pyarrow"),
+                       "grp", "cnt", k, id_col="term")
+    top = top.rename(columns={"grp": group_col})
+    top["rank"] = (top.groupby(group_col, sort=False).cumcount() + 1) \
+        .astype(np.int64)
+    return top[[group_col, "rank", "term", "cnt"]].reset_index(drop=True)
+
+
 def ngram_counts(ds, n: int = 2, text_col: str = "text",
                  min_count: int = 1):
     """Corpus n-gram frequency counts (the KenLM / corpus-statistics

@@ -659,6 +659,73 @@ def test_top_tokens_exact(ray_session):
     assert list(out["rank"]) == list(range(1, 11))
 
 
+def test_top_tokens_by_group_exact(ray_session):
+    """Per-group top-k vs brute force, including the tie rule
+    (cnt desc, term asc) and groups with fewer than k distinct terms."""
+    import re
+    from collections import Counter
+
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.textstats import top_tokens_by_group
+
+    rng = np.random.default_rng(13)
+    vocabs = {"en": [f"e{i}" for i in range(25)],
+              "de": [f"d{i}" for i in range(25)],
+              "fr": ["solo", "duo"]}  # < k distinct terms
+    docs = []
+    for lang, vocab in vocabs.items():
+        for _ in range(60):
+            docs.append({"lang": lang,
+                         "text": " ".join(rng.choice(vocab, size=15))})
+    out = top_tokens_by_group(rd.from_items(docs).repartition(5),
+                              k=8, group_col="lang")
+    for lang in vocabs:
+        true = Counter()
+        for d in docs:
+            if d["lang"] == lang:
+                true.update(t for t in re.split("[^a-z0-9]+",
+                                                d["text"].lower()) if t)
+        want = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+        sub = out[out["lang"] == lang]
+        assert list(zip(sub["term"], sub["cnt"])) == want
+        assert list(sub["rank"]) == list(range(1, len(want) + 1))
+
+
+def test_top_tokens_by_group_mg_bound(ray_session):
+    """Below-capacity Misra-Gries config: the per-group heavy hitter
+    survives and every reported count is within N_g/(cap+1)·#partials
+    of truth."""
+    import re
+    from collections import Counter
+
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.textstats import top_tokens_by_group
+
+    rng = np.random.default_rng(29)
+    docs = []
+    for lang in ("en", "de"):
+        # Zipf-ish: 'hot' dominates, 40-term tail
+        for _ in range(80):
+            toks = ["hot"] * 6 + list(rng.choice(
+                [f"{lang}{i}" for i in range(40)], size=10))
+            docs.append({"lang": lang, "text": " ".join(toks)})
+    ds = rd.from_items(docs).repartition(4)
+    out = top_tokens_by_group(ds, k=5, capacity=8, group_col="lang")
+    for lang in ("en", "de"):
+        true = Counter()
+        for d in docs:
+            if d["lang"] == lang:
+                true.update(re.split("[^a-z0-9]+", d["text"].lower()))
+        sub = out[out["lang"] == lang]
+        assert list(sub["term"])[0] == "hot"  # heavy hitter survives
+        n_g = sum(true.values())
+        for term, cnt in zip(sub["term"], sub["cnt"]):
+            assert 0 < cnt <= true[term]
+            assert true[term] - cnt <= n_g / (8 + 1) * 4  # 4 partials
+
+
 def test_stratified_sample_deterministic_cap(ray_session):
     import ray.data as rd
 
