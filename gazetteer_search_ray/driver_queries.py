@@ -921,6 +921,14 @@ def q_top_tokens(sf_dir):
     return out
 
 
+def q_vocab_stats(sf_dir):
+    """Corpus vocabulary health: tokens / types / hapax / TTR in one
+    term exchange (O(#blocks) rows to the driver)."""
+    from .pipelines.textstats import vocab_stats
+
+    return vocab_stats(_docs(sf_dir).select_columns(["text"]))
+
+
 def q_top_tokens_lang(sf_dir):
     """Per-language top-10 tokens (data-mixing vocabulary audit):
     per-group Misra-Gries partials → one fused-key groupby exchange →
@@ -1346,6 +1354,14 @@ EXTRA_SQL = {
         "tc AS (SELECT term, count(*)::BIGINT AS cnt FROM tok2 GROUP BY term) "
         "SELECT row_number() OVER (ORDER BY cnt DESC, term)::BIGINT AS rank, "
         "term, cnt FROM tc ORDER BY cnt DESC, term LIMIT 30"
+    ),
+    "vocab_stats": (
+        f"WITH {TOK_CTE}, "
+        "tc AS (SELECT term, count(*)::BIGINT AS cnt FROM tok2 GROUP BY term) "
+        "SELECT sum(cnt)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types, "
+        "sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax, "
+        "round(count(*)::DOUBLE / greatest(sum(cnt), 1), 6) AS type_token_ratio "
+        "FROM tc"
     ),
     "top_tokens_lang": (
         "WITH gtok AS ("
@@ -1784,6 +1800,7 @@ def all_queries() -> dict:
         "char_entropy": q_char_entropy,
         "force_merge": q_force_merge,
         "top_tokens_lang": q_top_tokens_lang,
+        "vocab_stats": q_vocab_stats,
     }
 
 

@@ -577,6 +577,64 @@ def top_tokens_by_group(ds, k: int = 10, capacity: int = 100_000,
     return top[[group_col, "rank", "term", "cnt"]].reset_index(drop=True)
 
 
+def vocab_stats(ds, text_col: str = "text"):
+    """Corpus vocabulary health in ONE term exchange: total token
+    count, type (distinct-term) count, hapax-legomenon count (terms
+    seen exactly once — the OOV/noise signal a tokenizer audit reads
+    first) and the type-token ratio.
+
+    Per-batch exact Arrow (term, cnt) partials → ONE
+    ``groupby(term).sum`` exchange → each merged block reduces to a
+    single (n_types, n_hapax, n_tokens) row, so only O(#blocks) rows
+    reach the driver.  Tokenization matches the token_stats oracle
+    (lower + split ``[^a-z0-9]+`` + drop empties).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(pc.cast(t[text_col].combine_chunks(), pa.string()))
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(s, pattern="[^a-z0-9]+"))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        toks = toks.filter(pc.not_equal(toks, ""))
+        if len(toks) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        cnt = (
+            pa.table({"term": toks})
+            .group_by("term", use_threads=False)
+            .aggregate([("term", "count")])
+        )
+        return pa.table({"term": cnt["term"],
+                         "cnt": pc.cast(cnt["term_count"], pa.int64())})
+
+    def block_stats(t: pa.Table) -> pa.Table:
+        c = t["sum(cnt)"].to_numpy()
+        return pa.table({
+            "n_tokens": pa.array([int(c.sum())], pa.int64()),
+            "n_types": pa.array([t.num_rows], pa.int64()),
+            "n_hapax": pa.array([int((c == 1).sum())], pa.int64()),
+        })
+
+    parts = (
+        ds.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .sum("cnt")
+        .map_batches(block_stats, batch_format="pyarrow")
+        .to_pandas()
+    )
+    tot = parts.sum()
+    n_tokens = int(tot["n_tokens"])
+    n_types = int(tot["n_types"])
+    return pd.DataFrame({
+        "n_tokens": [n_tokens],
+        "n_types": [n_types],
+        "n_hapax": [int(tot["n_hapax"])],
+        "type_token_ratio": [round(n_types / max(n_tokens, 1), 6)],
+    })
+
+
 def ngram_counts(ds, n: int = 2, text_col: str = "text",
                  min_count: int = 1):
     """Corpus n-gram frequency counts (the KenLM / corpus-statistics

@@ -726,6 +726,30 @@ def test_top_tokens_by_group_mg_bound(ray_session):
             assert true[term] - cnt <= n_g / (8 + 1) * 4  # 4 partials
 
 
+def test_vocab_stats_matches_brute(ray_session):
+    import re
+    from collections import Counter
+
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.textstats import vocab_stats
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = [{"text": " ".join(rng.choice(vocab, size=12)) + " unique%d" % i}
+            for i in range(50)]  # 50 guaranteed hapaxes
+    out = vocab_stats(rd.from_items(docs).repartition(4))
+    true = Counter()
+    for d in docs:
+        true.update(t for t in re.split("[^a-z0-9]+", d["text"].lower()) if t)
+    assert int(out["n_tokens"][0]) == sum(true.values())
+    assert int(out["n_types"][0]) == len(true)
+    assert int(out["n_hapax"][0]) == sum(1 for c in true.values() if c == 1)
+    assert out["n_hapax"][0] >= 50
+    assert out["type_token_ratio"][0] == round(
+        len(true) / sum(true.values()), 6)
+
+
 def test_stratified_sample_deterministic_cap(ray_session):
     import ray.data as rd
 
