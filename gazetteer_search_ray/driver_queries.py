@@ -611,6 +611,20 @@ def q_sample_hash(sf_dir):
     return out.sort_values("doc_id").reset_index(drop=True)[["doc_id", "lang"]]
 
 
+SAMPLE_N = 64
+
+
+def q_sample_fixed(sf_dir):
+    """Exactly-n deterministic sample: smallest-n Knuth hash ranks
+    (ties by id); prefixes nest as n grows."""
+    from .pipelines.relational import sample_fixed
+
+    out = sample_fixed(
+        _docs(sf_dir).select_columns(["doc_id", "lang"]), SAMPLE_N)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out[["doc_id", "lang"]]
+
+
 def q_grouped_topk(sf_dir):
     """Window-function analog: top-3 docs per lang by (n_chars desc,
     doc_id asc)."""
@@ -1280,6 +1294,12 @@ EXTRA_SQL = {
         f"WHERE (doc_id * 2654435761) % 4294967296 < "
         f"{int(SAMPLE_FRAC * 4294967296)} ORDER BY doc_id"
     ),
+    "sample_fixed": (
+        "SELECT doc_id, lang FROM ("
+        "  SELECT doc_id, lang FROM documents "
+        "  ORDER BY (doc_id * 2654435761) % 4294967296, doc_id LIMIT 64"
+        ") ORDER BY doc_id"
+    ),
     "stratified_sample": (
         f"SELECT lang, doc_id FROM ("
         f"SELECT lang, doc_id, row_number() OVER (PARTITION BY lang "
@@ -1801,6 +1821,7 @@ def all_queries() -> dict:
         "force_merge": q_force_merge,
         "top_tokens_lang": q_top_tokens_lang,
         "vocab_stats": q_vocab_stats,
+        "sample_fixed": q_sample_fixed,
     }
 
 

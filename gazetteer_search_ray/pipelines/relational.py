@@ -247,6 +247,42 @@ def sample_hash(ds, frac: float, id_col: str = "doc_id"):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def sample_fixed(ds, n: int, id_col: str = "doc_id", as_pandas: bool = True):
+    """Deterministic EXACTLY-n global sample: the ``n`` rows with the
+    smallest Knuth multiplicative hash of ``id_col`` (ties by id) —
+    the reproducible "give me exactly n uniform rows" primitive.
+    Sample prefixes NEST: sample_fixed(m ≤ n) is a subset of
+    sample_fixed(n), so growing a debugging sample keeps old rows.
+
+    Schema-preserving and scale-shaped: each batch keeps only its own
+    n smallest-hash rows (vectorized argpartition combiner), so the
+    final exchange sorts a candidate set of ≤ #blocks × n rows — never
+    the input — and ``limit(n)`` trims it.  n is human-sized by
+    contract (it lands on the driver when ``as_pandas``).
+    """
+
+    def combine(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy().astype(np.uint64)
+        h = ((ids * np.uint64(2654435761)) % np.uint64(4294967296)) \
+            .astype(np.int64)
+        if t.num_rows > n:
+            sel = np.argpartition(h, n)[:n]
+            t = t.take(pa.array(sel))
+            h = h[sel]
+        return t.append_column("__h", pa.array(h))
+
+    out = (
+        ds.map_batches(combine, batch_format="pyarrow")
+        .sort(["__h", id_col])
+        .limit(n)
+        .drop_columns(["__h"])
+    )
+    if not as_pandas:
+        return out
+    df = out.to_pandas()
+    return df.sort_values(id_col).reset_index(drop=True)
+
+
 def grouped_topk(ds, group_col: str, val_col: str, k: int,
                  id_col: str = "doc_id", as_pandas: bool = True,
                  small_limit: int = 200_000):

@@ -726,6 +726,30 @@ def test_top_tokens_by_group_mg_bound(ray_session):
             assert true[term] - cnt <= n_g / (8 + 1) * 4  # 4 partials
 
 
+def test_sample_fixed_exact_n_nesting(ray_session):
+    import ray.data as rd
+
+    from gazetteer_search_ray.pipelines.relational import sample_fixed
+
+    rows = [{"doc_id": int(i * 7 + 1), "lang": ["en", "de"][i % 2]}
+            for i in range(500)]
+    out = sample_fixed(rd.from_items(rows).repartition(6), 40)
+    assert len(out) == 40
+    # brute force: 40 smallest Knuth hashes, ties by id
+    h = {r["doc_id"]: (r["doc_id"] * 2654435761) % 4294967296 for r in rows}
+    want = sorted(sorted(h, key=lambda i: (h[i], i))[:40])
+    assert list(out["doc_id"]) == want
+    # partitioning-invariant
+    out2 = sample_fixed(rd.from_items(rows).repartition(13), 40)
+    assert list(out2["doc_id"]) == want
+    # prefixes nest: the 15-sample is a subset of the 40-sample
+    out3 = sample_fixed(rd.from_items(rows).repartition(6), 15)
+    assert set(out3["doc_id"]) <= set(want)
+    # n larger than the input returns everything
+    out4 = sample_fixed(rd.from_items(rows[:5]), 40)
+    assert len(out4) == 5
+
+
 def test_vocab_stats_matches_brute(ray_session):
     import re
     from collections import Counter
