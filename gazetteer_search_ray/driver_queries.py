@@ -1472,6 +1472,18 @@ def _docs_lines(sf_dir):
         _aug_lines, batch_format="pyarrow")
 
 
+def q_normalize(sf_dir):
+    """C4-style normalization: control strip → NFC → lower →
+    whitespace collapse → trim; codepoint-exact vs the SQL chain."""
+    from .pipelines.cleaning import normalize_text
+
+    out = normalize_text(
+        _docs(sf_dir).select_columns(["doc_id", "text"])).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_chars_norm"] = out["n_chars_norm"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_pii_scan(sf_dir):
     """Per-doc PII hit counts (email/ssn/ipv4/phone, RE2 kernels)."""
     from .pipelines.cleaning import pii_scan
@@ -1618,6 +1630,15 @@ _URL_PAT = r"https?://[A-Za-z0-9.\-]+(?:/[^\s]*)?"
 _DOM_PAT = r"https?://([A-Za-z0-9.\-]+)"
 
 CLEANING_SQL = {
+    "normalize": (
+        "WITH n AS ("
+        "  SELECT doc_id, trim(regexp_replace(lower(nfc_normalize("
+        "    regexp_replace(text, '[\\x00-\\x1f\\x7f]', ' ', 'g'))), "
+        "    '\\s+', ' ', 'g')) AS text_norm"
+        "  FROM documents) "
+        "SELECT doc_id, text_norm, length(text_norm)::BIGINT AS n_chars_norm "
+        "FROM n ORDER BY doc_id"
+    ),
     "url_extract": (
         f"""WITH {_URL_AUG_CTE},
 u AS (SELECT doc_id, unnest(regexp_extract_all(text, '{_URL_PAT}')) AS url
@@ -1822,6 +1843,7 @@ def all_queries() -> dict:
         "top_tokens_lang": q_top_tokens_lang,
         "vocab_stats": q_vocab_stats,
         "sample_fixed": q_sample_fixed,
+        "normalize": q_normalize,
     }
 
 

@@ -236,6 +236,50 @@ def remove_boilerplate(ds, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def normalize_text(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """C4-style text normalization, one shuffle-free map pass:
+    control characters → space, unicode NFC composition, lowercase,
+    whitespace runs collapsed to one space, ends trimmed — the
+    canonical pre-dedup/pre-tokenize cleanup so byte-different
+    renderings of the same text hash equal downstream.
+
+    Everything except NFC runs as vectorized RE2 / utf8 Arrow kernels.
+    NFC itself takes a vectorized ASCII fast path
+    (``pc.string_is_ascii`` — NFC is the identity on ASCII, so pure
+    ASCII batches never leave Arrow) and falls back to per-string
+    ``unicodedata.normalize`` ONLY for the non-ASCII minority:
+    pyarrow 16.1's ``utf8_normalize`` returns decomposed output for
+    every ``form`` argument (observed in this container), so it cannot
+    be trusted for NFC parity with the SQL oracle's
+    ``nfc_normalize``.
+
+    Returns (id, text_norm, n_chars_norm) with codepoint lengths.
+    """
+    import unicodedata
+
+    def f(t: pa.Table) -> pa.Table:
+        s = pc.cast(t[text_col].combine_chunks(), pa.string())
+        s = pc.replace_substring_regex(
+            s, pattern=r"[\x00-\x1f\x7f]", replacement=" ")
+        is_ascii = pc.string_is_ascii(s).to_numpy(zero_copy_only=False)
+        if not is_ascii.all():
+            vals = s.to_numpy(zero_copy_only=False)
+            for i in np.flatnonzero(~is_ascii):
+                if vals[i] is not None:
+                    vals[i] = unicodedata.normalize("NFC", vals[i])
+            s = pa.array(vals, pa.string())
+        s = pc.utf8_lower(s)
+        s = pc.replace_substring_regex(s, pattern=r"\s+", replacement=" ")
+        s = pc.utf8_trim_whitespace(s)
+        return pa.table({
+            id_col: t[id_col],
+            "text_norm": s,
+            "n_chars_norm": pc.cast(pc.utf8_length(s), pa.int64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def json_extract_int(ds, field: str, json_col: str = "props",
                      keep_cols: tuple[str, ...] = ()):
     """Extract an integer field from a flat-JSON string column — the

@@ -218,3 +218,36 @@ def test_snapshot_diff(ray_session):
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert list(zip(out["doc_id"], out["status"])) == [
         (1, "removed"), (3, "changed"), (4, "removed"), (5, "added")]
+
+
+def test_normalize_text_matches_duckdb(ray_session):
+    """C4 normalize chain vs DuckDB on nasty unicode: decomposed
+    accents (NFC path), NBSP (NOT \\s in RE2 — must survive),
+    control chars, uppercase unicode, astral chars, nulls preserved
+    as empty after trim of control→space."""
+    from gazetteer_search_ray.pipelines.cleaning import normalize_text
+
+    texts = [
+        "  A\x01b\tC  é \n\nx ",       # control + decomposed é
+        "ÜMLAUT NBSP",             # decomposed Ü, NBSP kept
+        "plain ASCII   with   runs",
+        "",
+        "\x00\x1f\x7f",                       # all-control → empty
+        "MiXeD \U0001F600 astral É",    # astral + decomposed É
+    ]
+    out = (normalize_text(_ds(texts).repartition(3))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = duckdb.sql("""
+        WITH d AS (SELECT * FROM df),
+        n AS (SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(
+                regexp_replace(text, '[\\x00-\\x1f\\x7f]', ' ', 'g'))),
+                '\\s+', ' ', 'g')) AS text_norm FROM d)
+        SELECT doc_id, text_norm, length(text_norm)::BIGINT AS n_chars_norm
+        FROM n ORDER BY doc_id
+    """.replace("df", "(SELECT unnest(range(6)) AS doc_id, unnest(?) AS text)"),
+        params=[texts]).df()
+    assert list(out["text_norm"]) == list(want["text_norm"])
+    assert list(out["n_chars_norm"]) == list(want["n_chars_norm"])
+    # NFC actually composed: 'e' + U+0301 became one codepoint
+    assert "é" in out["text_norm"][0] and "́" not in out["text_norm"][0]
+    assert out["text_norm"][4] == ""
