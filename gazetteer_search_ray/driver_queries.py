@@ -797,6 +797,25 @@ def q_decontam_drop(sf_dir):
     return out.sort_values("doc_id").reset_index(drop=True)[["doc_id", "lang"]]
 
 
+def q_decontam_bloom(sf_dir):
+    """Same drop via the Bloom scale path (fixed-size bitmap broadcast
+    + candidate pre-filter + exact semi-join verify) — shares the
+    decontam_drop oracle, so the hash match proves the Bloom pruning
+    loses nothing."""
+    from .pipelines.contamination import decontaminate
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text", "lang"])
+    ev = _mod_split(docs, True)
+    tr = _mod_split(docs, False)
+    out = (
+        decontaminate(tr, ev, n=3, strategy="bloom")
+        .select_columns(["doc_id", "lang"])
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)[["doc_id", "lang"]]
+
+
 def _emb(sf_dir):
     import ray.data as rd
 
@@ -1844,6 +1863,7 @@ def all_queries() -> dict:
         "vocab_stats": q_vocab_stats,
         "sample_fixed": q_sample_fixed,
         "normalize": q_normalize,
+        "decontam_bloom": q_decontam_bloom,
     }
 
 
@@ -1874,6 +1894,9 @@ def all_oracle_sql() -> dict:
     # segment-lifecycle entry: merged index must equal a fresh build,
     # so it shares the plain OR3 BM25 oracle
     sql["force_merge"] = _bm25_topk_sql(OR3)
+    # Bloom decontamination prunes candidates then exact-verifies, so
+    # it must equal the exact drop at any false-positive rate
+    sql["decontam_bloom"] = DEDUP_SQL["decontam_drop"]
     return sql
 
 

@@ -161,6 +161,84 @@ class _ContaminationChecker:
         })
 
 
+def _bloom_positions(h: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(k, n) bit positions for int64 hashes via double hashing
+    h1 + i*h2 (Kirsch-Mitzenmacher): the hashes are already md5-64
+    uniform, so two cheap derived streams suffice for k probes."""
+    h1 = h.astype(np.uint64)
+    h2 = (h1 * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    return (h1[None, :] + i * h2[None, :]) % np.uint64(m_bits)
+
+
+def build_eval_bloom(eval_ds, n: int = 3, text_col: str = "text",
+                     id_col: str = "doc_id", m_bits: int = 1 << 26,
+                     k: int = 4) -> np.ndarray:
+    """Bloom filter over the eval set's distinct shingle hashes, built
+    distributed: each eval batch reduces to ONE OR'd ``m_bits/8``-byte
+    bitmap row, and the driver ORs the O(#batches) bitmaps — the
+    bitmap (8 MB at the default 2^26 bits) is the ONLY eval-sized
+    thing that ever moves, however many shingles the eval set has.
+    False-positive rate ≈ (1 - e^{-k·n_hashes/m})^k — ~1% at 7M
+    hashes with the defaults; callers that exact-verify candidates
+    (``decontaminate(strategy="bloom")``) stay exact at ANY rate."""
+    nbytes = m_bits // 8
+
+    def partial(t: pa.Table) -> pa.Table:
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        _, sh = _batch_doc_shingles(t, text_col, id_col, n)
+        if sh:
+            hs = np.unique(_stable_hash64(sh))
+            pos = _bloom_positions(hs, m_bits, k).ravel()
+            # build-once pass: the unbuffered scatter-OR is fine here
+            # (unlike the per-query varbyte hot path it replaced)
+            np.bitwise_or.at(bm, (pos >> np.uint64(3)).astype(np.int64),
+                             (np.uint8(1) << (pos & np.uint64(7)))
+                             .astype(np.uint8))
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.large_binary())})
+
+    bm = np.zeros(nbytes, dtype=np.uint8)
+    for b in (eval_ds.map_batches(partial, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow", batch_size=None)):
+        for v in b["bm"]:
+            bm |= np.frombuffer(v.as_py(), dtype=np.uint8)
+    return bm
+
+
+class _BloomCandidateFilter:
+    """Actor-pool stage: keep only train rows with ≥1 Bloom-positive
+    shingle — the cheap pre-filter in front of the exact semi-join.
+    No false negatives (Bloom property), so dropping the negatives is
+    exact; positives are verified downstream."""
+
+    def __init__(self, bloom_ref, m_bits: int, k: int, n: int,
+                 text_col: str, id_col: str):
+        import ray
+
+        self.bm = ray.get(bloom_ref) if not isinstance(
+            bloom_ref, np.ndarray) else bloom_ref
+        self.m_bits = m_bits
+        self.k = k
+        self.n = n
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        doc_ids, sh = _batch_doc_shingles(t, self.text_col, self.id_col,
+                                          self.n)
+        if not sh:
+            return t.slice(0, 0)
+        hs = _stable_hash64(sh)
+        pos = _bloom_positions(hs, self.m_bits, self.k)
+        bit = (np.uint8(1) << (pos & np.uint64(7))).astype(np.uint8)
+        hit = (self.bm[(pos >> np.uint64(3)).astype(np.int64)] & bit) != 0
+        cand_docs = np.unique(doc_ids[hit.all(axis=0)])
+        ids = t[self.id_col].to_numpy().astype(np.int64)
+        return t.filter(pa.array(np.isin(ids, cand_docs)))
+
+
 def contamination_report(train_ds, eval_hashes: np.ndarray, n: int = 3,
                          text_col: str = "text", id_col: str = "doc_id",
                          concurrency=(2, 16)):
@@ -227,7 +305,8 @@ def contamination_report_join(train_ds, eval_ds, n: int = 3,
 def decontaminate(train_ds, eval_ds, n: int = 3, text_col: str = "text",
                   id_col: str = "doc_id", strategy: str = "auto",
                   eval_broadcast_limit: int = 100_000_000,
-                  contaminated_broadcast_limit: int = 100_000_000):
+                  contaminated_broadcast_limit: int = 100_000_000,
+                  bloom_bits: int = 1 << 26, bloom_k: int = 4):
     """Drop every train doc sharing ≥1 n-gram with the eval set.
 
     ``strategy``:
@@ -241,10 +320,35 @@ def decontaminate(train_ds, eval_ds, n: int = 3, text_col: str = "text",
       drop, for eval sets / contamination fractions too large for any
       driver-side array;
     * ``"auto"``: broadcast, flipping each leg to the join path when
-      its broadcast side would exceed the corresponding limit.
+      its broadcast side would exceed the corresponding limit;
+    * ``"bloom"``: the 100-TB scale path for huge eval sets — a
+      fixed-size Bloom bitmap (:func:`build_eval_bloom`, 8 MB default)
+      replaces the full eval-hash broadcast, a candidate pre-filter
+      keeps only trains docs with ≥1 Bloom-positive shingle (no false
+      negatives), and the exact semi-join verifies ONLY those
+      candidates before the anti-join drop — results are identical to
+      the other strategies at any false-positive rate, but the
+      broadcast is O(bits) instead of O(#eval hashes) and the join's
+      train side shrinks to the candidate fraction.
     """
     import ray
     import ray.data as rd
+
+    if strategy == "bloom":
+        bm_ref = ray.put(build_eval_bloom(eval_ds, n=n, text_col=text_col,
+                                          id_col=id_col, m_bits=bloom_bits,
+                                          k=bloom_k))
+        cand = train_ds.map_batches(
+            _BloomCandidateFilter,
+            fn_constructor_kwargs=dict(
+                bloom_ref=bm_ref, m_bits=bloom_bits, k=bloom_k, n=n,
+                text_col=text_col, id_col=id_col),
+            batch_format="pyarrow",
+            concurrency=(2, 16),
+        )
+        rep = contamination_report_join(cand, eval_ds, n=n,
+                                        text_col=text_col, id_col=id_col)
+        return _anti_join_ids(train_ds, rep, id_col)
 
     if strategy not in ("auto", "broadcast", "join"):
         raise ValueError(strategy)

@@ -90,6 +90,40 @@ def test_decontaminate_custom_id_col(ray_session, corpus):
         assert set(kept["xid"]) == want, strategy
 
 
+def test_decontaminate_bloom_matches_other_strategies(ray_session, corpus):
+    """Bloom strategy is exact at ANY false-positive rate: the bitmap
+    only prunes candidates, the semi-join verifies them.  Checked at
+    the 8 MB default AND at a deliberately tiny 1 KB bitmap (high fp
+    rate — every doc may become a candidate, result still exact)."""
+    tr, ev = corpus
+    bad = set(_brute_report(tr, ev)["doc_id"])
+    want = set(tr["doc_id"]) - bad
+    kept = decontaminate(_ds(tr), _ds(ev), n=3,
+                         strategy="bloom").to_pandas()
+    assert set(kept["doc_id"]) == want
+    kept_tiny = decontaminate(_ds(tr), _ds(ev), n=3, strategy="bloom",
+                              bloom_bits=1 << 13).to_pandas()
+    assert set(kept_tiny["doc_id"]) == want
+
+
+def test_bloom_filter_no_false_negatives(ray_session, corpus):
+    """Every eval shingle hash must probe positive in the built
+    bitmap (the property that makes the candidate pre-filter safe)."""
+    from gazetteer_search_ray.pipelines.contamination import (
+        _bloom_positions,
+        build_eval_bloom,
+    )
+
+    tr, ev = corpus
+    bm = build_eval_bloom(_ds(ev), n=3, m_bits=1 << 20, k=4)
+    hashes = eval_shingle_hashes(_ds(ev), n=3)
+    assert hashes.size > 0
+    pos = _bloom_positions(hashes, 1 << 20, 4)
+    bit = (np.uint8(1) << (pos & np.uint64(7))).astype(np.uint8)
+    hit = (bm[(pos >> np.uint64(3)).astype(np.int64)] & bit) != 0
+    assert hit.all()
+
+
 def test_clean_corpus_passes_through(ray_session):
     tr = pd.DataFrame({"doc_id": [1, 2], "text": ["aa bb cc dd", "ee ff gg"]})
     ev = pd.DataFrame({"doc_id": [9], "text": ["xx yy zz ww"]})
